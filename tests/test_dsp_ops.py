@@ -1,0 +1,247 @@
+"""Unit tests for the demod DSP kernels: FIR, AGC, Costas, clock recovery.
+
+All complex data uses the CF32 real-pair (the TPU backend has no complex
+dtype); tests convert at the edges with from_complex/to_complex.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xritdemod_tpu.ops import agc as agc_op
+from xritdemod_tpu.ops import clock_recovery as cr_op
+from xritdemod_tpu.ops import costas as costas_op
+from xritdemod_tpu.ops import fir
+from xritdemod_tpu.utils.cplx import CF32, from_complex, to_complex
+
+
+def crandn(rng, *shape):
+    return (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# FIR
+# ---------------------------------------------------------------------------
+class TestFir:
+    def test_matches_numpy_convolve(self, rng):
+        taps = rng.normal(size=31).astype(np.float32)
+        x = crandn(rng, 256)
+        y, _ = fir.fir_block(from_complex(x), jnp.asarray(taps), fir.fir_init(31))
+        xe = np.concatenate([np.zeros(30, np.complex64), x])
+        ref = np.array(
+            [np.dot(taps, xe[n : n + 31]) for n in range(256)], np.complex64
+        )
+        np.testing.assert_allclose(to_complex(y), ref, rtol=1e-4, atol=1e-5)
+
+    def test_decimation(self, rng):
+        taps = jnp.asarray(rng.normal(size=15).astype(np.float32))
+        x = from_complex(crandn(rng, 240))
+        y, _ = fir.fir_block(x, taps, fir.fir_init(15), 4)
+        yfull, _ = fir.fir_block(x, taps, fir.fir_init(15))
+        np.testing.assert_allclose(to_complex(y), to_complex(yfull)[::4], rtol=1e-5)
+        assert y.shape[-1] == 60
+
+    def test_block_continuity(self, rng):
+        """Two half blocks with carried history == one full block."""
+        taps = jnp.asarray(rng.normal(size=21).astype(np.float32))
+        x = crandn(rng, 512)
+        full, _ = fir.fir_block(from_complex(x), taps, fir.fir_init(21))
+        h = fir.fir_init(21)
+        y1, h = fir.fir_block(from_complex(x[:256]), taps, h)
+        y2, _ = fir.fir_block(from_complex(x[256:]), taps, h)
+        np.testing.assert_allclose(
+            np.concatenate([to_complex(y1), to_complex(y2)]),
+            to_complex(full),
+            rtol=1e-4,
+            atol=1e-6,
+        )
+
+    def test_batched(self, rng):
+        taps = jnp.asarray(rng.normal(size=9).astype(np.float32))
+        x = crandn(rng, 3, 5, 64)
+        hist = fir.fir_init(9, leading_shape=(3, 5))
+        y, nh = fir.fir_block(from_complex(x), taps, hist)
+        assert y.shape == (3, 5, 64)
+        assert nh.shape == (3, 5, 8)
+        y0, _ = fir.fir_block(from_complex(x[1, 3]), taps, fir.fir_init(9))
+        np.testing.assert_allclose(to_complex(y)[1, 3], to_complex(y0), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# AGC
+# ---------------------------------------------------------------------------
+class TestAgc:
+    def test_associative_matches_exact(self, rng):
+        params = agc_op.AgcParams(rate=0.01, reference=0.5, gain=1.0, max_gain=4000.0)
+        x = from_complex(crandn(rng, 4096))
+        g0 = agc_op.agc_init(params)
+        y1, gf1 = agc_op.agc_block(x, g0, params)
+        y2, gf2 = agc_op.agc_block_exact(x, g0, params)
+        np.testing.assert_allclose(to_complex(y1), to_complex(y2), rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(float(gf1), float(gf2), rtol=1e-3)
+
+    def test_converges_to_reference_level(self, rng):
+        params = agc_op.AgcParams(rate=0.01, reference=0.5, gain=1.0, max_gain=4000.0)
+        ph = rng.uniform(0, 2 * np.pi, 8192)
+        x = from_complex((0.05 * np.exp(1j * ph)).astype(np.complex64))
+        y, gain = agc_op.agc_block(x, agc_op.agc_init(params), params)
+        tail = np.abs(to_complex(y)[-1000:])
+        assert abs(tail.mean() - 0.5) < 0.01
+        assert abs(float(gain) - 10.0) < 0.5
+
+    def test_block_continuity(self, rng):
+        params = agc_op.AgcParams()
+        x = crandn(rng, 2048)
+        yf, _ = agc_op.agc_block(from_complex(x), agc_op.agc_init(params), params)
+        g = agc_op.agc_init(params)
+        y1, g = agc_op.agc_block(from_complex(x[:1024]), g, params)
+        y2, _ = agc_op.agc_block(from_complex(x[1024:]), g, params)
+        np.testing.assert_allclose(
+            np.concatenate([to_complex(y1), to_complex(y2)]),
+            to_complex(yf),
+            rtol=1e-3,
+            atol=1e-5,
+        )
+
+    def test_max_gain_clamps(self):
+        params = agc_op.AgcParams(rate=0.01, reference=0.5, gain=1.0, max_gain=40.0)
+        x = CF32(jnp.full(20000, 1e-6, jnp.float32), jnp.zeros(20000, jnp.float32))
+        _, gain = agc_op.agc_block(x, agc_op.agc_init(params), params)
+        assert float(gain) <= 40.0 + 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Costas
+# ---------------------------------------------------------------------------
+class TestCostas:
+    def test_locks_frequency_offset(self, rng):
+        params = costas_op.costas_gains(0.01)
+        nsym = 30000
+        bpsk = (1.0 - 2.0 * rng.integers(0, 2, nsym)).astype(np.float64)
+        f = 0.002  # rad/sample offset
+        n = np.arange(nsym)
+        x = (bpsk * np.exp(1j * (f * n + 0.5))).astype(np.complex64)
+        y, st = costas_op.costas_block(from_complex(x), costas_op.costas_init(), params)
+        assert abs(float(st.freq) - f) < 2e-4
+        tail = to_complex(y)[-5000:]
+        assert np.abs(tail.imag).mean() < 0.1
+        assert np.abs(tail.real).mean() > 0.9
+
+    def test_block_continuity(self, rng):
+        params = costas_op.costas_gains(0.0037)
+        x = (
+            np.exp(1j * 0.001 * np.arange(4096))
+            * (1 - 2 * rng.integers(0, 2, 4096))
+        ).astype(np.complex64)
+        yf, stf = costas_op.costas_block(from_complex(x), costas_op.costas_init(), params)
+        st = costas_op.costas_init()
+        y1, st = costas_op.costas_block(from_complex(x[:2048]), st, params)
+        y2, st2 = costas_op.costas_block(from_complex(x[2048:]), st, params)
+        np.testing.assert_allclose(
+            np.concatenate([to_complex(y1), to_complex(y2)]),
+            to_complex(yf),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(float(st2.freq), float(stf.freq), atol=1e-7)
+
+    def test_batched_vmap(self, rng):
+        params = costas_op.costas_gains(0.005)
+        x = crandn(rng, 4, 512)
+        st = costas_op.costas_init((4,))
+        y, st2 = costas_op.costas_block(from_complex(x), st, params)
+        assert y.shape == (4, 512)
+        y0, _ = costas_op.costas_block(
+            from_complex(x[2]), costas_op.costas_init(), params
+        )
+        np.testing.assert_allclose(
+            to_complex(y)[2], to_complex(y0), rtol=1e-4, atol=1e-5
+        )
+
+
+# ---------------------------------------------------------------------------
+# Clock recovery
+# ---------------------------------------------------------------------------
+def _shaped_bpsk(rng, nsym, sps, snr_db=30.0, timing_phase=0.3):
+    """BPSK at `sps` samples/symbol with RRC shaping."""
+    from xritdemod_tpu.ops import filters
+
+    os_factor = 8
+    ntaps = 101
+    bits = rng.integers(0, 2, nsym)
+    syms = 1.0 - 2.0 * bits.astype(np.float64)
+    fine_len = int((nsym + 2) * sps * os_factor) + ntaps * os_factor
+    impulses = np.zeros(fine_len)
+    pos = ((np.arange(nsym) + timing_phase) * sps * os_factor).astype(np.int64)
+    impulses[pos] = syms
+    fs = 1.0
+    rc = filters.rrc_taps(1.0, fs * os_factor * sps, fs, 0.5, ntaps * os_factor)
+    shaped = np.convolve(impulses, rc.astype(np.float64) * os_factor, mode="same")
+    sig = shaped[::os_factor]
+    noise_amp = 10 ** (-snr_db / 20)
+    sig = sig + rng.normal(size=len(sig)) * noise_amp
+    return sig.astype(np.complex64), bits
+
+
+class TestClockRecovery:
+    def test_recovers_symbols(self, rng):
+        sps = 4.2534
+        params = cr_op.ClockRecoveryParams(
+            omega=sps, gain_omega=0.0037**2 / 4, gain_mu=0.0037
+        )
+        sig, bits = _shaped_bpsk(rng, 4000, sps)
+        nslots = cr_op.max_symbols(len(sig), params)
+        syms, valid, _ = cr_op.clock_recovery_block(
+            from_complex(sig), cr_op.clock_recovery_init(params), params, nslots
+        )
+        soft = np.asarray(syms.re)[np.asarray(valid)]
+        # discard the acquisition transient (the loop gain 0.0037 converges in
+        # ~2000 symbols), compare hard decisions allowing small symbol offset
+        start = 2500
+        got = (soft[start : start + 1200] < 0).astype(int)
+        best = 0
+        for off in range(-8, 9):
+            w = bits[start + off : start + off + len(got)]
+            agree = max((got == w).mean(), (got != w).mean())
+            best = max(best, agree)
+        assert best > 0.999
+
+    def test_block_continuity(self, rng):
+        sps = 4.2534
+        params = cr_op.ClockRecoveryParams(
+            omega=sps, gain_omega=0.0037**2 / 4, gain_mu=0.0037
+        )
+        sig, _ = _shaped_bpsk(rng, 2000, sps)
+        T = len(sig) // 2 * 2
+        sig = sig[:T]
+        nslots = cr_op.max_symbols(T, params)
+        s_all, v_all, _ = cr_op.clock_recovery_block(
+            from_complex(sig), cr_op.clock_recovery_init(params), params, nslots
+        )
+        full = np.asarray(s_all.re)[np.asarray(v_all)]
+
+        half = T // 2
+        nsl = cr_op.max_symbols(half, params)
+        st = cr_op.clock_recovery_init(params)
+        s1, v1, st = cr_op.clock_recovery_block(from_complex(sig[:half]), st, params, nsl)
+        s2, v2, _ = cr_op.clock_recovery_block(from_complex(sig[half:]), st, params, nsl)
+        split = np.concatenate(
+            [np.asarray(s1.re)[np.asarray(v1)], np.asarray(s2.re)[np.asarray(v2)]]
+        )
+        n = min(len(full), len(split))
+        assert abs(len(full) - len(split)) <= 1
+        np.testing.assert_allclose(split[:n], full[:n], rtol=1e-3, atol=1e-4)
+
+    def test_vmap_batches(self, rng):
+        sps = 4.0
+        params = cr_op.ClockRecoveryParams(omega=sps, gain_omega=1e-6, gain_mu=2e-3)
+        sig, _ = _shaped_bpsk(rng, 500, sps)
+        batch = from_complex(np.stack([sig] * 3))
+        nslots = cr_op.max_symbols(len(sig), params)
+        init = jax.vmap(lambda _: cr_op.clock_recovery_init(params))(jnp.arange(3))
+        syms, valid, st = jax.vmap(
+            lambda x, s: cr_op.clock_recovery_block(x, s, params, nslots)
+        )(batch, init)
+        assert syms.re.shape == (3, nslots)
+        np.testing.assert_allclose(np.asarray(syms.re[0]), np.asarray(syms.re[2]))

@@ -1,0 +1,187 @@
+"""The BPSK demodulation chain as one jitted block-functional step.
+
+TPU-native re-design of the reference demodulator hot path
+(/root/reference/demodulator/src/demodulator.cpp:100-168): the reference
+pulls a variable-length chunk off a mutex FIFO and runs five stateful C++
+blocks in sequence on one thread; here one pure function consumes a
+fixed-size `(T,)` complex block plus a small carried-state pytree and returns
+soft symbols plus the next state.  Everything is `vmap`-able over channels
+and shardable over a device mesh.
+
+Chain: [decimating low-pass FIR] -> AGC -> RRC FIR -> Costas loop -> M&M
+clock recovery -> Re{.} soft symbols (the reference takes the real part in
+SymbolManager::add, SymbolManager.cpp:104).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xritdemod_tpu import constants as C
+from xritdemod_tpu.ops import agc as agc_op
+from xritdemod_tpu.ops import clock_recovery as cr_op
+from xritdemod_tpu.ops import costas as costas_op
+from xritdemod_tpu.ops import filters, fir
+from xritdemod_tpu.utils.cplx import CF32, from_complex
+
+__all__ = ["DemodConfig", "DemodState", "Demodulator", "quantize_symbols"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DemodConfig:
+    """Demodulator operating point (mirrors xritdemod.cfg keys)."""
+
+    symbol_rate: int = C.LRIT_SYMBOL_RATE
+    sample_rate: int = 1_250_000
+    decimation: int = 1
+    rrc_alpha: float = C.LRIT_RRC_ALPHA
+    pll_alpha: float = C.CLOCK_ALPHA       # shipped default (demodulator.cpp:220)
+    rrc_taps: int = C.RRC_TAPS
+    agc_rate: float = C.AGC_RATE
+    agc_reference: float = C.AGC_REFERENCE
+    agc_gain: float = C.AGC_GAIN
+    agc_max_gain: float = C.AGC_MAX_GAIN
+    clock_alpha: float = C.CLOCK_ALPHA
+    clock_mu: float = C.CLOCK_MU
+    clock_omega_limit: float = C.CLOCK_OMEGA_LIMIT
+
+    @classmethod
+    def lrit(cls, sample_rate: int = 1_250_000, decimation: int = 1) -> "DemodConfig":
+        return cls(
+            symbol_rate=C.LRIT_SYMBOL_RATE,
+            rrc_alpha=C.LRIT_RRC_ALPHA,
+            sample_rate=sample_rate,
+            decimation=decimation,
+        )
+
+    @classmethod
+    def hrit(cls, sample_rate: int = 3_000_000, decimation: int = 1) -> "DemodConfig":
+        return cls(
+            symbol_rate=C.HRIT_SYMBOL_RATE,
+            rrc_alpha=C.HRIT_RRC_ALPHA,
+            sample_rate=sample_rate,
+            decimation=decimation,
+        )
+
+    @property
+    def circuit_sample_rate(self) -> float:
+        return self.sample_rate / self.decimation
+
+    @property
+    def sps(self) -> float:
+        return self.circuit_sample_rate / self.symbol_rate
+
+
+class DemodState(NamedTuple):
+    dec_hist: CF32
+    agc_gain: jax.Array
+    rrc_hist: CF32
+    costas: costas_op.CostasState
+    clock: cr_op.ClockRecoveryState
+
+
+class Demodulator:
+    """Builds taps/params for a config and exposes a jitted block step.
+
+    `block_len` is the number of complex input samples consumed per step
+    (must be a multiple of `decimation`).
+    """
+
+    def __init__(self, config: DemodConfig, block_len: int = 1 << 17):
+        if block_len % config.decimation:
+            raise ValueError("block_len must be a multiple of decimation")
+        self.config = config
+        self.block_len = block_len
+
+        # Tap design exactly as demodulator.cpp:443-444.
+        self._rrc_taps = jnp.asarray(
+            filters.rrc_taps(
+                1.0,
+                config.circuit_sample_rate,
+                config.symbol_rate,
+                config.rrc_alpha,
+                config.rrc_taps,
+            )
+        )
+        if config.decimation > 1:
+            self._dec_taps = jnp.asarray(
+                filters.lowpass_taps(
+                    1.0,
+                    config.sample_rate,
+                    config.circuit_sample_rate / 2.0,
+                    100e3,
+                )
+            )
+        else:
+            self._dec_taps = jnp.ones((1,), jnp.float32)
+
+        self._agc = agc_op.AgcParams(
+            rate=config.agc_rate,
+            reference=config.agc_reference,
+            gain=config.agc_gain,
+            max_gain=config.agc_max_gain,
+        )
+        self._costas = costas_op.costas_gains(config.pll_alpha)
+        self._clock = cr_op.ClockRecoveryParams(
+            omega=config.sps,
+            gain_omega=config.clock_alpha * config.clock_alpha / 4.0,
+            gain_mu=config.clock_alpha,
+            omega_relative_limit=config.clock_omega_limit,
+        )
+        self.num_slots = cr_op.max_symbols(
+            block_len // config.decimation, self._clock
+        )
+        self._step = jax.jit(functools.partial(self._block))
+
+    # -- state ------------------------------------------------------------
+    def init_state(self) -> DemodState:
+        return DemodState(
+            dec_hist=fir.fir_init(int(self._dec_taps.shape[0])),
+            agc_gain=agc_op.agc_init(self._agc),
+            rrc_hist=fir.fir_init(int(self._rrc_taps.shape[0])),
+            costas=costas_op.costas_init(),
+            clock=cr_op.clock_recovery_init(self._clock, self.config.clock_mu),
+        )
+
+    # -- the jitted step ----------------------------------------------------
+    def _block(self, x: CF32, state: DemodState):
+        cfg = self.config
+        if cfg.decimation > 1:
+            x, dec_hist = fir.fir_block(
+                x, self._dec_taps, state.dec_hist, cfg.decimation
+            )
+        else:
+            dec_hist = state.dec_hist
+        x, agc_gain = agc_op.agc_block(x, state.agc_gain, self._agc)
+        x, rrc_hist = fir.fir_block(x, self._rrc_taps, state.rrc_hist)
+        x, costas_state = costas_op.costas_block(x, state.costas, self._costas)
+        syms, valid, clock_state = cr_op.clock_recovery_block(
+            x, state.clock, self._clock, self.num_slots
+        )
+        soft = syms.re   # reference takes Re{.} (SymbolManager.cpp:104)
+        new_state = DemodState(
+            dec_hist=dec_hist,
+            agc_gain=agc_gain,
+            rrc_hist=rrc_hist,
+            costas=costas_state,
+            clock=clock_state,
+        )
+        return soft, valid, new_state
+
+    def process(self, x, state: DemodState):
+        """One block: `(T,)` CF32 (or numpy complex) -> (soft, valid, state)."""
+        if not isinstance(x, CF32):
+            x = from_complex(x)
+        return self._step(x, state)
+
+
+def quantize_symbols(soft: jax.Array) -> jax.Array:
+    """float soft symbols -> int8 wire format (SymbolManager.cpp:43-46)."""
+    q = jnp.clip(soft * C.SYMBOL_SCALE, -128.0, 127.0)
+    return q.astype(jnp.int8)

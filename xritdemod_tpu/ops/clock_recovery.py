@@ -1,0 +1,188 @@
+"""Mueller & Muller symbol-clock recovery.
+
+Semantics follow GNU Radio `clock_recovery_mm_cc(omega, gain_omega, mu,
+gain_mu, omega_relative_limit)` / SatHelper `ClockRecovery` as constructed at
+/root/reference/demodulator/src/demodulator.cpp:449 (golden model
+demod_tcp_qt.py:266), per output symbol:
+
+    p0 = interp(x[ii .. ii+7], mu);  c0 = slicer(p0)   # (re>0, im>0) -> {0,1}
+    u  = (p0 - p2)*conj(c1) - (c0 - c2)*conj(p1)
+    e  = clip(Re(u), +-1)
+    omega += gain_omega*e;  omega = omega_mid + clip(omega - omega_mid, +-lim)
+    mu += omega + gain_mu*e;  ii += floor(mu);  mu -= floor(mu)
+
+This is the one data-dependent-shape stage in the chain (symbol count varies
+with recovered clock).  TPU-native form: a `lax.scan` over a *fixed* budget
+of output-symbol slots with a validity mask and carried (ii, mu, omega,
+p/c history); block boundaries carry a fixed-size input tail so shapes stay
+static.  The fractional interpolator is a runtime-evaluated 8-tap windowed
+sinc (the reference uses GR's tabulated 8-tap MMSE interpolator; both resolve
+a fractional delay of 3+mu samples and agree within the chain's SNR bound —
+at mu=0 ours is exact passthrough of x[ii+3]).
+
+Complex samples are the CF32 real-pair (utils/cplx.py) — no complex dtype on
+TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from xritdemod_tpu.utils.cplx import CF32
+
+__all__ = [
+    "ClockRecoveryParams",
+    "ClockRecoveryState",
+    "clock_recovery_init",
+    "clock_recovery_block",
+    "max_symbols",
+    "NTAIL",
+    "INTERP_TAPS",
+]
+
+INTERP_TAPS = 8
+# Fixed-size carry of raw samples across block boundaries.  Must exceed
+# INTERP_TAPS + ceil(max omega); 32 is comfortably safe for sps <= 20.
+NTAIL = 32
+
+
+class ClockRecoveryParams(NamedTuple):
+    omega: float                 # nominal samples/symbol (omega_mid)
+    gain_omega: float
+    gain_mu: float
+    omega_relative_limit: float = 0.005
+
+
+class ClockRecoveryState(NamedTuple):
+    mu: jax.Array      # () f32
+    omega: jax.Array   # () f32
+    ii: jax.Array      # () i32, index into [tail | block]
+    p: CF32            # (3,) sample history  [p0, p1, p2]
+    c: CF32            # (3,) slicer history  [c0, c1, c2]
+    tail: CF32         # (NTAIL,) last samples of previous extended block
+
+
+def clock_recovery_init(
+    params: ClockRecoveryParams, mu: float = 0.5
+) -> ClockRecoveryState:
+    z3 = CF32(jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32))
+    zt = CF32(jnp.zeros(NTAIL, jnp.float32), jnp.zeros(NTAIL, jnp.float32))
+    return ClockRecoveryState(
+        mu=jnp.float32(mu),
+        omega=jnp.float32(params.omega),
+        ii=jnp.int32(NTAIL),   # start at the head of the fresh block
+        p=z3,
+        c=z3,
+        tail=zt,
+    )
+
+
+def max_symbols(block_len: int, params: ClockRecoveryParams) -> int:
+    """Static output-slot budget for a block of `block_len` input samples."""
+    min_omega = params.omega * (1.0 - params.omega_relative_limit)
+    return int(math.ceil((block_len + NTAIL) / min_omega)) + 4
+
+
+def _interp_taps(mu: jax.Array) -> jax.Array:
+    """8 windowed-sinc taps resolving fractional delay 3+mu."""
+    k = jnp.arange(INTERP_TAPS, dtype=jnp.float32)
+    u = k - 3.0 - mu
+    w = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
+    taps = jnp.sinc(u) * w
+    return taps / jnp.sum(taps)
+
+
+def clock_recovery_block(
+    x: CF32,
+    state: ClockRecoveryState,
+    params: ClockRecoveryParams,
+    num_slots: int,
+    unroll: int = 4,
+) -> tuple[CF32, jax.Array, ClockRecoveryState]:
+    """Recover symbols from one `(T,)` CF32 block.
+
+    Returns `(symbols, valid, new_state)` where `symbols: (num_slots,)` CF32
+    and `valid: (num_slots,)` bool marks real outputs (the count is
+    data-dependent; invalid slots are zero).  Batch by `jax.vmap`.
+    """
+    omega_mid = jnp.float32(params.omega)
+    omega_lim = jnp.float32(params.omega * params.omega_relative_limit)
+    gain_omega = jnp.float32(params.gain_omega)
+    gain_mu = jnp.float32(params.gain_mu)
+
+    xr = jnp.concatenate([state.tail.re, x.re])
+    xi = jnp.concatenate([state.tail.im, x.im])
+    n = xr.shape[0]
+    limit = n - INTERP_TAPS   # GR: process while ii < ninput - taps
+
+    def step(carry, _):
+        mu, omega, ii, pr, pi, cr, ci = carry
+        valid = ii < limit
+        ii_safe = jnp.clip(ii, 0, limit)
+        wr = jax.lax.dynamic_slice(xr, (ii_safe,), (INTERP_TAPS,))
+        wi = jax.lax.dynamic_slice(xi, (ii_safe,), (INTERP_TAPS,))
+
+        taps = _interp_taps(mu)
+        p0r = jnp.sum(wr * taps)
+        p0i = jnp.sum(wi * taps)
+        # GR slicer_0deg: component -> 1.0 if > 0 else 0.0
+        c0r = jnp.where(p0r > 0, 1.0, 0.0)
+        c0i = jnp.where(p0i > 0, 1.0, 0.0)
+        # e = Re[(p0 - p2)*conj(c1) - (c0 - c2)*conj(p1)]
+        e = (
+            (p0r - pr[2]) * cr[1]
+            + (p0i - pi[2]) * ci[1]
+            - ((c0r - cr[2]) * pr[1] + (c0i - ci[2]) * pi[1])
+        )
+        e = jnp.clip(e, -1.0, 1.0)
+
+        new_omega = omega + gain_omega * e
+        new_omega = omega_mid + jnp.clip(new_omega - omega_mid, -omega_lim, omega_lim)
+        new_mu = mu + new_omega + gain_mu * e
+        adv = jnp.floor(new_mu)
+        new_ii = jnp.maximum(ii + adv.astype(jnp.int32), 0)
+        new_mu = new_mu - adv
+
+        new_pr = jnp.stack([p0r, pr[0], pr[1]])
+        new_pi = jnp.stack([p0i, pi[0], pi[1]])
+        new_cr = jnp.stack([c0r, cr[0], cr[1]])
+        new_ci = jnp.stack([c0i, ci[0], ci[1]])
+
+        carry = (
+            jnp.where(valid, new_mu, mu),
+            jnp.where(valid, new_omega, omega),
+            jnp.where(valid, new_ii, ii),
+            jnp.where(valid, new_pr, pr),
+            jnp.where(valid, new_pi, pi),
+            jnp.where(valid, new_cr, cr),
+            jnp.where(valid, new_ci, ci),
+        )
+        out = (jnp.where(valid, p0r, 0.0), jnp.where(valid, p0i, 0.0), valid)
+        return carry, out
+
+    carry0 = (
+        state.mu,
+        state.omega,
+        state.ii,
+        state.p.re,
+        state.p.im,
+        state.c.re,
+        state.c.im,
+    )
+    (mu, omega, ii, pr, pi, cr, ci), (sr, si, valid) = jax.lax.scan(
+        step, carry0, None, length=num_slots, unroll=unroll
+    )
+
+    new_state = ClockRecoveryState(
+        mu=mu,
+        omega=omega,
+        ii=ii - (n - NTAIL),   # re-based onto the next extended block
+        p=CF32(pr, pi),
+        c=CF32(cr, ci),
+        tail=CF32(xr[-NTAIL:], xi[-NTAIL:]),
+    )
+    return CF32(sr, si), valid, new_state
