@@ -1,0 +1,256 @@
+"""The CADU decode chain as batched jitted steps + a streaming wrapper.
+
+TPU-native re-design of the reference decoder main loop
+(/root/reference/decoder/src/newdecoder.cpp:196-406): the reference pulls one
+16384-byte coded frame at a time off a TCP socket and runs correlator ->
+phase fix -> Viterbi -> NRZ-M -> derandomize -> RS serially per frame; its
+flywheel skips the full correlation when locked.  Here the stream is framed
+into *batches* of B coded frames, sync is a single vectorized correlation +
+argmax, the per-frame flywheel recheck collapses into a cheap batched
+`correlate_at` at every expected frame start, and the whole FEC stack runs
+on the batch at once.
+
+Frame-boundary state matches the reference exactly:
+  - 64 soft symbols of Viterbi warm-up history prepended per frame
+    (newdecoder.cpp:272-276); inside a batch the history is simply the
+    previous frame's tail in the contiguous stream, and the batch carries a
+    64-sample tail pytree across calls.
+  - The decoded stream is shifted back 32 bits (newdecoder.cpp:295-297) so
+    frame bytes are decoded[4:1028].
+  - HRIT applies NRZ-M over the decoded bytes including the history prefix
+    (newdecoder.cpp:282-284), which this layout reproduces for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xritdemod_tpu import constants as C
+from xritdemod_tpu.ops import correlator as corr_op
+from xritdemod_tpu.ops import nrzm as nrzm_op
+from xritdemod_tpu.ops import reed_solomon as rs_op
+from xritdemod_tpu.ops import viterbi as vit_op
+from xritdemod_tpu.utils.bits import pack_bits
+
+__all__ = ["DecoderConfig", "FrameBatch", "CaduDecoder", "StreamDecoder"]
+
+_CODED = C.CODED_FRAME_SIZE          # 16384 soft symbols per coded frame
+_HIST = C.LAST_FRAME_DATA_BITS       # 64 soft symbols of Viterbi history
+_EXT = _CODED + _HIST
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Decoder operating point (mirrors xritdecoder.cfg keys)."""
+
+    mode: str = "lrit"               # "lrit" | "hrit"
+    min_correlation_bits: int = C.MIN_CORRELATION_BITS
+    frames_per_block: int = 8        # B coded frames decoded per device step
+
+    @property
+    def lrit(self) -> bool:
+        return self.mode == "lrit"
+
+    @property
+    def uws(self) -> list[int]:
+        # Registration order matches newdecoder.cpp:145-151: UW0 then UW2.
+        return (
+            [C.LRIT_UW0, C.LRIT_UW2] if self.lrit else [C.HRIT_UW0, C.HRIT_UW2]
+        )
+
+
+class FrameBatch(NamedTuple):
+    """Decoded results for one batch of B frames (device arrays)."""
+
+    vcdu: jax.Array          # (B, 892) uint8 payloads
+    frame_ok: jax.Array      # (B,) bool — at least one RS block decoded
+    sync_ok: jax.Array       # (B,) bool — per-frame corr >= threshold
+    scid: jax.Array          # (B,) int32
+    vcid: jax.Array          # (B,) int32
+    counter: jax.Array       # (B,) int32 24-bit frame counter
+    vit_errors: jax.Array    # (B,) int32 corrected coded bits (GetBER)
+    rs_errors: jax.Array     # (B, 4) int32 per-block corrections, -1 = fail
+    corr: jax.Array          # (B,) float32 sync-word match bits
+    word: jax.Array          # (B,) int32 matched UW index (0 = 0 deg)
+    sync_word: jax.Array     # (B, 4) uint8 decoded sync marker bytes
+
+
+class CaduDecoder:
+    """Jitted batched CADU decode: sync readout + FEC stack.
+
+    One device step consumes `(B * 16384,)` aligned soft symbols plus a
+    `(64,)` carried history tail and returns a `FrameBatch`.
+    """
+
+    def __init__(self, config: DecoderConfig = DecoderConfig()):
+        self.config = config
+        self._templates = corr_op.make_templates(config.uws)
+        B = config.frames_per_block
+        self._decode = jax.jit(functools.partial(self._decode_impl, B=B))
+        self._sync = jax.jit(self._sync_impl)
+
+    # -- sync acquisition: full correlation over one coded frame ----------
+    def _sync_impl(self, soft: jax.Array):
+        """`(>=16384+63,)` soft -> (corr, word, pos) over frame-length lags."""
+        window = soft[: _CODED + corr_op.UW_BITS - 1]
+        counts = corr_op.correlate(window, self._templates)
+        return corr_op.best_correlation(counts)
+
+    def init_tail(self) -> jax.Array:
+        """Neutral Viterbi history (reference inits to mid-level 128,
+        newdecoder.cpp:141-144 — neutral soft 0 here)."""
+        return jnp.zeros((_HIST,), jnp.float32)
+
+    # -- the batched decode step ------------------------------------------
+    def _decode_impl(self, soft: jax.Array, tail: jax.Array, *, B: int):
+        cfg = self.config
+        soft = soft.astype(jnp.float32)
+
+        # Per-frame sync recheck at every expected frame start (the
+        # reference flywheel, newdecoder.cpp:218-237, vectorized).
+        starts = jnp.arange(B, dtype=jnp.int32) * _CODED
+        corr, word = corr_op.correlate_at(soft, self._templates, starts)
+        sync_ok = corr >= cfg.min_correlation_bits
+
+        # Phase-ambiguity fix, LRIT only (newdecoder.cpp:267-270); HRIT's
+        # NRZ-M self-resolves.  Applied per frame region so an intra-batch
+        # phase flip is handled.
+        if cfg.lrit:
+            sign = jnp.where(word % 2 == 1, -1.0, 1.0)       # (B,)
+            fixed = (soft.reshape(B, _CODED) * sign[:, None]).reshape(-1)
+        else:
+            fixed = soft
+
+        # Extended frames with 64-symbol history overlap.
+        padded = jnp.concatenate([tail, fixed])
+        ext = jnp.stack(
+            [
+                jax.lax.dynamic_slice(padded, (k * _CODED,), (_EXT,))
+                for k in range(B)
+            ]
+        )                                                     # (B, 16448)
+
+        bits, vit_errors = vit_op.viterbi_decode(ext)         # (B, 8224)
+        decoded = pack_bits(bits)                             # (B, 1028)
+        if not cfg.lrit:
+            decoded = nrzm_op.nrzm_decode_bytes(decoded)
+
+        # Shift back 32 bits of history: frame = decoded[4:1028]
+        # (newdecoder.cpp:295-297), then strip the 4-byte sync marker.
+        frame = decoded[:, C.LAST_FRAME_DATA // 2 : C.LAST_FRAME_DATA // 2 + C.FRAME_SIZE]
+        sync_word = frame[:, : C.SYNC_WORD_BYTES]
+        body = frame[:, C.SYNC_WORD_BYTES :]                  # (B, 1020)
+
+        from xritdemod_tpu.ops.derandomizer import derandomize
+
+        body = derandomize(body)
+        corrected, rs_errors = rs_op.rs_decode_frame(body)    # (B,1020),(B,4)
+        frame_ok = jnp.any(rs_errors != -1, axis=-1) & sync_ok
+
+        # Header parse (newdecoder.cpp:342-349).
+        b0 = corrected[:, 0].astype(jnp.int32)
+        b1 = corrected[:, 1].astype(jnp.int32)
+        scid = ((b0 & 0x3F) << 2) | ((b1 & 0xC0) >> 6)
+        vcid = b1 & 0x3F
+        counter = (
+            (corrected[:, 2].astype(jnp.int32) << 16)
+            | (corrected[:, 3].astype(jnp.int32) << 8)
+            | corrected[:, 4].astype(jnp.int32)
+        )
+
+        vcdu = corrected[:, : C.VCDU_SIZE]
+        new_tail = fixed[-_HIST:]
+        return (
+            FrameBatch(
+                vcdu=vcdu,
+                frame_ok=frame_ok,
+                sync_ok=sync_ok,
+                scid=scid,
+                vcid=vcid,
+                counter=counter,
+                vit_errors=vit_errors,
+                rs_errors=rs_errors,
+                corr=corr,
+                word=word,
+                sync_word=sync_word,
+            ),
+            new_tail,
+        )
+
+    # -- public API ---------------------------------------------------------
+    def sync(self, soft) -> tuple[float, int, int]:
+        """Acquire: (corr_bits, word, pos) over one coded frame of lags."""
+        corr, word, pos = self._sync(jnp.asarray(soft))
+        return float(corr), int(word), int(pos)
+
+    def decode_block(self, soft, tail) -> tuple[FrameBatch, jax.Array]:
+        """Decode `(B*16384,)` aligned soft symbols; returns batch + tail."""
+        return self._decode(jnp.asarray(soft), tail)
+
+
+@dataclasses.dataclass
+class _StreamStats:
+    frames: int = 0
+    dropped: int = 0
+    resyncs: int = 0
+
+
+class StreamDecoder:
+    """Host streaming wrapper: unaligned soft-symbol stream -> frames.
+
+    Replaces the reference's socket loop realign/flywheel state machine
+    (newdecoder.cpp:212-263): buffers bytes, acquires sync with one
+    vectorized correlation, then decodes in B-frame batches with an
+    always-on per-frame recheck; any frame falling below the correlation
+    threshold triggers re-acquisition, like `lastFrameOK = false`.
+    """
+
+    def __init__(self, config: DecoderConfig = DecoderConfig()):
+        self.config = config
+        self.decoder = CaduDecoder(config)
+        self._buf = np.zeros(0, np.float32)
+        self._tail = self.decoder.init_tail()
+        self._locked = False
+        self._pos = 0
+        self.stats = _StreamStats()
+
+    def push(self, soft: np.ndarray) -> list[FrameBatch]:
+        """Feed soft symbols (float or int8); returns decoded batches."""
+        soft = np.asarray(soft, np.float32)
+        self._buf = np.concatenate([self._buf, soft])
+        B = self.config.frames_per_block
+        need_sync = _CODED + corr_op.UW_BITS - 1
+        out: list[FrameBatch] = []
+        while True:
+            if not self._locked:
+                if len(self._buf) < need_sync:
+                    break
+                corr, word, pos = self.decoder.sync(self._buf[:need_sync])
+                if corr < self.config.min_correlation_bits:
+                    # No sync in this frame-length window: slide one frame
+                    # (the reference drops the chunk, newdecoder.cpp:244-247).
+                    self._buf = self._buf[_CODED:]
+                    continue
+                self._locked = True
+                self._pos = pos
+                self.stats.resyncs += 1
+            if len(self._buf) < self._pos + B * _CODED:
+                break
+            chunk = self._buf[self._pos : self._pos + B * _CODED]
+            batch, self._tail = self.decoder.decode_block(chunk, self._tail)
+            self._buf = self._buf[self._pos + B * _CODED :]
+            self._pos = 0
+            sync_ok = np.asarray(batch.sync_ok)
+            ok = np.asarray(batch.frame_ok)
+            self.stats.frames += int(ok.sum())
+            self.stats.dropped += int((~ok).sum())
+            if not sync_ok.all():
+                self._locked = False    # reacquire, like lastFrameOK=false
+            out.append(batch)
+        return out

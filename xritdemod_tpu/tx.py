@@ -1,0 +1,115 @@
+"""Host-side xRIT transmit chain — test fixture and impairment injector.
+
+The reference validates operationally against live GOES downlinks
+(SURVEY.md §4: it has no tests), so this framework self-validates: this
+module is the *satellite side* — it builds bit-exact CADU coded symbol
+streams (VCDU -> RS(255,223) 4-way interleave -> CCSDS randomizer -> sync
+marker -> [NRZ-M for HRIT] -> rate-1/2 K=7 convolutional encode -> BPSK
+soft symbols), the exact inverse of the decoder pipeline
+(/root/reference/decoder/src/newdecoder.cpp:196-406 run backwards).
+
+Everything is numpy; fixtures are small.  The convolutional shift register
+and NRZ-M phase carry across frames like the real continuous downlink.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from xritdemod_tpu import constants as C
+from xritdemod_tpu.ops import conv_code
+from xritdemod_tpu.ops.derandomizer import _pn_np
+from xritdemod_tpu.ops.reed_solomon import rs_encode_np
+
+__all__ = ["make_vcdus", "TxChain", "encode_stream", "soft_to_int8"]
+
+
+def make_vcdus(
+    n: int,
+    scid: int = 13,
+    vcid: int = 63,
+    counter0: int = 0,
+    version: int = 1,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Build `(n, 892)` VCDU payloads with the header fields the reference
+    parses (newdecoder.cpp:342-349): SCID/VCID in bytes 0-1, 24-bit
+    big-endian counter in bytes 2-4."""
+    rng = rng or np.random.default_rng(0)
+    v = rng.integers(0, 256, (n, C.VCDU_SIZE)).astype(np.uint8)
+    ctr = (counter0 + np.arange(n)) & 0xFFFFFF
+    v[:, 0] = ((version & 0x3) << 6) | ((scid >> 2) & 0x3F)
+    v[:, 1] = ((scid & 0x3) << 6) | (vcid & 0x3F)
+    v[:, 2] = (ctr >> 16) & 0xFF
+    v[:, 3] = (ctr >> 8) & 0xFF
+    v[:, 4] = ctr & 0xFF
+    return v
+
+
+def _frame_from_vcdu(vcdu: np.ndarray) -> np.ndarray:
+    """892 payload bytes -> 1024-byte CADU (sync + randomized data+parity)."""
+    blocks = vcdu.reshape(C.RS_K, C.RS_BLOCKS).T        # (4, 223), block i = i::4
+    cw = rs_encode_np(blocks)                            # (4, 255)
+    interleaved = cw.T.reshape(C.RS_BLOCKS * C.RS_N)     # byte j*4+i = cw[i, j]
+    rand = interleaved ^ _pn_np(C.RS_BLOCKS * C.RS_N)
+    sync = np.array(
+        [(C.SYNC_MARKER >> s) & 0xFF for s in (24, 16, 8, 0)], np.uint8
+    )
+    return np.concatenate([sync, rand])
+
+
+@dataclasses.dataclass
+class TxChain:
+    """Stateful continuous-downlink encoder (conv sr / NRZ-M phase carry)."""
+
+    lrit: bool = True
+    sr: int = 0
+    nrzm_prev: int = 0
+
+    def encode_frames(self, vcdus: np.ndarray) -> np.ndarray:
+        """`(n, 892)` payloads -> `(n*16384,)` float soft symbols in +-1."""
+        out = []
+        for vcdu in vcdus:
+            cadu = _frame_from_vcdu(np.asarray(vcdu, np.uint8))
+            bits = np.unpackbits(cadu)
+            if not self.lrit:
+                bits, self.nrzm_prev = conv_code.nrzm_encode_bits(
+                    bits, self.nrzm_prev
+                )
+            coded, self.sr = conv_code.conv_encode_bits(bits, self.sr)
+            out.append(1.0 - 2.0 * coded.astype(np.float32))
+        return np.concatenate(out)
+
+
+def encode_stream(
+    vcdus: np.ndarray,
+    lrit: bool = True,
+    amp: float = 1.0,
+    noise: float = 0.0,
+    phase180: bool = False,
+    lead: int = 0,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """VCDUs -> impaired float soft-symbol stream.
+
+    `lead` prepends noise symbols (tests mid-stream sync acquisition);
+    `phase180` flips polarity (tests the BPSK ambiguity fix).
+    """
+    rng = rng or np.random.default_rng(0)
+    soft = TxChain(lrit=lrit).encode_frames(vcdus) * amp
+    if phase180:
+        soft = -soft
+    if lead:
+        soft = np.concatenate(
+            [rng.normal(0, max(noise, 0.3 * amp), lead).astype(np.float32), soft]
+        )
+    if noise:
+        soft = soft + rng.normal(0, noise, soft.shape).astype(np.float32)
+    return soft.astype(np.float32)
+
+
+def soft_to_int8(soft: np.ndarray) -> np.ndarray:
+    """Wire quantization (SymbolManager.cpp:43-46): x*127 clamped int8."""
+    return np.clip(soft * C.SYMBOL_SCALE, -128, 127).astype(np.int8)
