@@ -41,11 +41,12 @@ def test_stream_decode_bit_exact(rng, mode, phase180):
     dec = StreamDecoder(DecoderConfig(mode=mode, frames_per_block=4))
     batches = dec.push(wire.astype(np.float32))
     vcdu, ctr, scid, vcid = collect(batches)
-    assert len(vcdu) == 8  # 2 full blocks of 4; 9th frame waits for more data
-    assert np.array_equal(vcdu, vcdus[:8])
-    assert np.array_equal(ctr, 77 + np.arange(8))
+    # acquisition decodes frame 0 alone (B=1), then batches of 4 -> 9 total
+    assert len(vcdu) == 9
+    assert np.array_equal(vcdu, vcdus)
+    assert np.array_equal(ctr, 77 + np.arange(9))
     assert set(scid) == {13} and set(vcid) == {5}
-    assert dec.stats.frames == 8 and dec.stats.dropped == 0
+    assert dec.stats.frames == 9 and dec.stats.dropped == 0
 
 
 def test_stream_decode_incremental_push(rng):
@@ -56,9 +57,10 @@ def test_stream_decode_incremental_push(rng):
     batches = []
     for i in range(0, len(soft), 7777):
         batches += dec.push(soft[i : i + 7777])
+    batches += dec.flush()
     vcdu, ctr, _, _ = collect(batches)
-    assert len(vcdu) == 4
-    assert np.array_equal(vcdu, vcdus[:4])
+    assert len(vcdu) == 5
+    assert np.array_equal(vcdu, vcdus)
 
 
 def test_byte_errors_corrected_and_counted(rng):
@@ -70,12 +72,12 @@ def test_byte_errors_corrected_and_counted(rng):
     idx = rng.choice(C.CODED_FRAME_SIZE, 160, replace=False) + 2 * C.CODED_FRAME_SIZE
     soft[idx] = -soft[idx]
     dec = StreamDecoder(DecoderConfig(frames_per_block=4))
-    batches = dec.push(soft)
-    assert len(batches) == 1
-    b = batches[0]
-    assert np.asarray(b.frame_ok).all()
-    assert np.array_equal(np.asarray(b.vcdu), vcdus)
-    vit = np.asarray(b.vit_errors)
+    batches = dec.push(soft) + dec.flush()
+    ok = np.concatenate([np.asarray(b.frame_ok) for b in batches])
+    vcdu = np.concatenate([np.asarray(b.vcdu) for b in batches])
+    vit = np.concatenate([np.asarray(b.vit_errors) for b in batches])
+    assert ok.all()
+    assert np.array_equal(vcdu, vcdus)
     assert vit[2] > 100  # the impaired frame shows corrected bits
     assert vit[1] < 20
 
@@ -88,23 +90,25 @@ def test_uncorrectable_frame_dropped(rng):
     sl = slice(2 * C.CODED_FRAME_SIZE + 2000, 2 * C.CODED_FRAME_SIZE + 15000)
     soft[sl] = rng.normal(0, 1.0, sl.stop - sl.start).astype(np.float32)
     dec = StreamDecoder(DecoderConfig(frames_per_block=4))
-    batches = dec.push(soft)
-    b = batches[0]
-    ok = np.asarray(b.frame_ok)
+    batches = dec.push(soft) + dec.flush()
+    ok = np.concatenate([np.asarray(b.frame_ok) for b in batches])
+    rse = np.concatenate([np.asarray(b.rs_errors) for b in batches])
+    vcdu = np.concatenate([np.asarray(b.vcdu) for b in batches])
     assert list(ok) == [True, True, False, True]
-    assert np.all(np.asarray(b.rs_errors)[2] == -1)
-    assert np.array_equal(np.asarray(b.vcdu)[ok], vcdus[[0, 1, 3]])
+    assert np.all(rse[2] == -1)
+    assert np.array_equal(vcdu[ok], vcdus[[0, 1, 3]])
 
 
 def test_sync_word_readout(rng):
     vcdus = tx.make_vcdus(4, rng=rng)
     soft = tx.encode_stream(vcdus, amp=1.0, noise=0.0, rng=rng)
     dec = StreamDecoder(DecoderConfig(frames_per_block=4))
-    b = dec.push(soft)[0]
+    batches = dec.push(soft) + dec.flush()
+    sw = np.concatenate([np.asarray(b.sync_word) for b in batches])
     expect = [(C.SYNC_MARKER >> s) & 0xFF for s in (24, 16, 8, 0)]
     # frame 0's history is neutral so its first decoded bits are unreliable;
     # frames 1+ must show the exact attached sync marker.
-    assert np.array_equal(np.asarray(b.sync_word)[1:], np.tile(expect, (3, 1)))
+    assert np.array_equal(sw[1:], np.tile(expect, (len(sw) - 1, 1)))
 
 
 def test_decoder_batch_api(rng):

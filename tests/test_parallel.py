@@ -1,0 +1,141 @@
+"""Parallel-layer tests on the 8-virtual-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xritdemod_tpu import tx
+from xritdemod_tpu.models.decoder import DecoderConfig
+from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
+from xritdemod_tpu.parallel.channels import (
+    ChannelDemodulator,
+    ChannelReceiver,
+    make_channel_mesh,
+)
+from xritdemod_tpu.utils.cplx import CF32, from_complex
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_channel_mesh(jax.devices()[:8])
+
+
+def _make_signals(rng, C, T, cfg):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_demod_chain import make_lrit_signal
+
+    sigs = []
+    for c in range(C):
+        sig, _ = make_lrit_signal(rng, int(T / cfg.sps) + 200, cfg)
+        sigs.append(sig[:T])
+    return np.stack(sigs)
+
+
+class TestChannelDemod:
+    def test_sharded_matches_single_device(self, rng, mesh):
+        C, T = 8, 1 << 14
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        sig = _make_signals(rng, C, T, cfg)
+        x = from_complex(sig)
+
+        sharded = ChannelDemodulator(cfg, channels=C, block_len=T, mesh=mesh)
+        plain = ChannelDemodulator(cfg, channels=C, block_len=T, mesh=None)
+
+        s_soft, s_valid, _ = sharded.process(x, sharded.init_state())
+        p_soft, p_valid, _ = plain.process(x, plain.init_state())
+        assert np.array_equal(np.asarray(s_valid), np.asarray(p_valid))
+        np.testing.assert_allclose(
+            np.asarray(s_soft), np.asarray(p_soft), atol=1e-5
+        )
+
+    def test_channels_are_independent(self, rng, mesh):
+        """Zeroing one channel's input must not change another's output."""
+        C, T = 8, 1 << 13
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        sig = _make_signals(rng, C, T, cfg)
+        d = ChannelDemodulator(cfg, channels=C, block_len=T, mesh=mesh)
+        a, va, _ = d.process(from_complex(sig), d.init_state())
+        sig2 = sig.copy()
+        sig2[3] = 0
+        b, vb, _ = d.process(from_complex(sig2), d.init_state())
+        np.testing.assert_allclose(
+            np.asarray(a)[0], np.asarray(b)[0], atol=1e-6
+        )
+        assert not np.allclose(np.asarray(a)[3], np.asarray(b)[3])
+
+
+class TestChannelReceiver:
+    def test_sharded_decode_bit_exact(self, rng, mesh):
+        C = 8
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        rx = ChannelReceiver(
+            cfg,
+            DecoderConfig(mode="lrit", frames_per_block=1),
+            channels=C,
+            block_len=1 << 13,
+            mesh=mesh,
+        )
+        vcdus = tx.make_vcdus(C, rng=rng)
+        frames = np.stack(
+            [tx.encode_stream(vcdus[i : i + 1], amp=0.8, noise=0.1, rng=rng)
+             for i in range(C)]
+        )
+        batch, tails = rx.decode_block(jnp.asarray(frames), rx.init_tails())
+        ok = np.asarray(batch.frame_ok).reshape(-1)
+        assert ok.all()
+        assert np.array_equal(np.asarray(batch.vcdu).reshape(C, -1), vcdus)
+
+
+class TestTimeBlocks:
+    def test_timeblock_demod_recovers_symbols(self, rng):
+        from jax.sharding import Mesh
+        from xritdemod_tpu.parallel.timeblocks import TimeBlockDemodulator
+
+        D = 4
+        mesh = Mesh(np.asarray(jax.devices()[:D]), ("t",))
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        block = 1 << 14
+        warm = 8192
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_demod_chain import make_lrit_signal
+
+        total = D * block
+        sig, bits = make_lrit_signal(rng, int(total / cfg.sps) + 400, cfg)
+        sig = sig[:total]
+
+        tb = TimeBlockDemodulator(cfg, mesh, block_len=block, warmup=warm)
+        soft, valid = tb.process(from_complex(sig))
+        soft = np.asarray(soft)
+        valid = np.asarray(valid)
+        # each block yields symbols; post-warmup regions show a locked
+        # bimodal eye on blocks > 0 (block 0 includes cold acquisition)
+        for d in range(1, D):
+            s = soft[d][valid[d]]
+            tail = s[len(s) // 2 :]
+            eye = np.abs(tail).mean() / (np.abs(tail).std() + 1e-9)
+            assert eye > 3.0, f"block {d} eye {eye}"
+        # serial reference: same capture through the sequential demod
+        demod = Demodulator(cfg, block_len=block)
+        st = demod.init_state()
+        serial = []
+        for d in range(D):
+            s, v, st = demod.process(sig[d * block : (d + 1) * block], st)
+            serial.append(np.asarray(s)[np.asarray(v)])
+        serial = np.concatenate(serial)
+        # block 1+ symbol decisions must agree with the serial chain's
+        # decisions over the same sample range (allow alignment search)
+        s1 = soft[1][valid[1]]
+        got = (s1[200:1200] < 0).astype(int)
+        base = int(block / cfg.sps)
+        best = 0
+        for off in range(-40, 41):
+            w = (serial[base + 200 + off : base + 200 + off + len(got)] < 0).astype(int)
+            n = min(len(w), len(got))
+            agree = max((got[:n] == w[:n]).mean(), (got[:n] != w[:n]).mean())
+            best = max(best, agree)
+        assert best > 0.98, f"agreement {best}"

@@ -1,0 +1,217 @@
+"""Runtime layer tests: config, statistics wire format, dispatchers,
+frontends, symbol transport, and the fused receiver app end-to-end."""
+
+import os
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from xritdemod_tpu import constants as C
+from xritdemod_tpu import tx
+from xritdemod_tpu.runtime import config as cfg_mod
+from xritdemod_tpu.runtime.dispatchers import BroadcastServer
+from xritdemod_tpu.runtime.frontends import CFileFrontend, SampleType, make_frontend
+from xritdemod_tpu.runtime.statistics import STRUCT_SIZE, Statistics
+from xritdemod_tpu.runtime.symbol_manager import SampleFifo, SymbolSender
+
+
+class TestConfig:
+    def test_roundtrip_and_defaults(self, tmp_path):
+        path = str(tmp_path / "xritdemod.cfg")
+        cfg, parser = cfg_mod.demod_config_from_file(path)
+        assert os.path.exists(path)           # defaults auto-written
+        assert cfg.symbol_rate == C.LRIT_SYMBOL_RATE
+        assert cfg.pll_alpha == C.CLOCK_ALPHA  # shipped default
+        # edit the file, reload, check mode preset override
+        with open(path, "a") as f:
+            f.write("mode=hrit\nsampleRate=3000000\n")
+        cfg2, _ = cfg_mod.demod_config_from_file(path)
+        assert cfg2.symbol_rate == C.HRIT_SYMBOL_RATE
+        assert cfg2.rrc_alpha == C.HRIT_RRC_ALPHA
+        assert cfg2.sample_rate == 3_000_000
+
+    def test_decoder_config(self, tmp_path):
+        path = str(tmp_path / "xritdecoder.cfg")
+        cfg, parser = cfg_mod.decoder_config_from_file(path)
+        assert cfg.mode == "lrit"
+        assert parser.get("vChannelPort") == "5001"
+
+
+class TestStatistics:
+    def test_wire_size_matches_reference_struct(self):
+        # sizeof(Statistics_st) with #pragma pack(1) (Statistics.h:13-37)
+        expected = 1+1+8+2+2+16+1+1+1+8+2+1+8+2048+2048+8+4+4+1+1+1
+        assert STRUCT_SIZE == expected
+        assert len(Statistics().pack()) == expected
+
+    def test_update_and_pack_fields(self):
+        s = Statistics()
+        s.update_frame(scid=13, vcid=5, counter=100, vit_errors=12,
+                       rs_errors=(1, 0, 2, -1), sync_correlation=60,
+                       phase_correction=180, frame_ok=True)
+        s.update_frame(scid=13, vcid=5, counter=105, vit_errors=10,
+                       rs_errors=(0, 0, 0, 0), sync_correlation=64,
+                       phase_correction=0, frame_ok=True)
+        assert s.lost_packets == 4            # counter jump 100 -> 105
+        raw = s.pack()
+        scid, vcid, pkt = struct.unpack_from("<BBQ", raw, 0)
+        assert (scid, vcid, pkt) == (13, 5, 105)
+        assert s.frame_lock and s.total_packets == 2
+
+    def test_dropped_frame(self):
+        s = Statistics()
+        s.update_frame(scid=0, vcid=0, counter=0, vit_errors=900,
+                       rs_errors=(-1, -1, -1, -1), sync_correlation=47,
+                       phase_correction=0, frame_ok=False)
+        assert s.dropped_packets == 1 and not s.frame_lock
+
+
+class TestBroadcastServer:
+    def test_fanout_and_prune(self):
+        srv = BroadcastServer(0)  # ephemeral port
+        srv.start()
+        try:
+            port = srv.bound_port
+            c1 = socket.create_connection(("127.0.0.1", port), 2)
+            c2 = socket.create_connection(("127.0.0.1", port), 2)
+            time.sleep(0.2)
+            srv.add(b"hello")
+            assert c1.recv(5) == b"hello"
+            assert c2.recv(5) == b"hello"
+            c2.close()
+            time.sleep(0.1)
+            srv.add(b"world")
+            srv.add(b"!!!!!")  # triggers prune of c2
+            assert c1.recv(5) == b"world"
+            time.sleep(0.2)
+            assert srv.num_clients() == 1
+        finally:
+            srv.stop()
+
+
+class TestFrontends:
+    def test_cfile_plays_capture(self, tmp_path, rng):
+        data = (rng.normal(size=200_000) + 1j * rng.normal(size=200_000)).astype(
+            np.complex64
+        )
+        path = str(tmp_path / "cap.bin")
+        data.tofile(path)
+        fe = CFileFrontend(path)
+        got = []
+        fe.set_samples_available_callback(lambda iq, t: got.append((iq, t)))
+        fe.set_sample_rate(1_250_000)
+        fe.start()
+        fe.join()
+        iq = np.concatenate([g[0] for g in got])
+        assert got[0][1] == SampleType.FLOAT_IQ
+        assert len(iq) == 2 * len(data)
+        np.testing.assert_allclose(iq[0::2], data.real, rtol=1e-6)
+
+    def test_make_frontend_rejects_usb(self, tmp_path):
+        parser = cfg_mod.ConfigParser(str(tmp_path / "x.cfg"))
+        parser["filename"] = "x.bin"
+        with pytest.raises(NotImplementedError):
+            make_frontend("airspy", parser)
+
+
+class TestSymbolTransport:
+    def test_sender_reaches_receiver(self):
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+        sender = SymbolSender("127.0.0.1", port)
+        sender._last_retry = -10
+        sender.add(np.arange(-100, 100, dtype=np.int8))
+        sender.process()   # connect + send
+        conn, _ = srv.accept()
+        conn.settimeout(2)
+        sender.process()
+        data = conn.recv(4096)
+        assert np.array_equal(
+            np.frombuffer(data, np.int8), np.arange(-100, 100, dtype=np.int8)
+        )
+        sender.close()
+        conn.close()
+        srv.close()
+
+    def test_fifo_blocks_and_pops_complex(self):
+        fifo = SampleFifo(1 << 16)
+        iq = np.arange(8, dtype=np.float32)
+        t = threading.Thread(target=lambda: (time.sleep(0.05), fifo.push(iq)))
+        t.start()
+        x = fifo.pop_block(4, timeout=2.0)
+        t.join()
+        assert x is not None and x.dtype == np.complex64 or x.dtype == np.complex128
+        np.testing.assert_allclose(x.real, [0, 2, 4, 6])
+        np.testing.assert_allclose(x.imag, [1, 3, 5, 7])
+
+    def test_fifo_overflow_drops(self):
+        fifo = SampleFifo(16)
+        fifo.push(np.zeros(12, np.float32))
+        fifo.push(np.zeros(12, np.float32))
+        assert fifo.overflows == 1
+
+
+class TestReceiverApp:
+    def test_fused_rx_decodes_capture(self, tmp_path, rng):
+        """Full app path: synthesized IQ capture file -> frontend -> demod ->
+        decode -> statistics + channel dispatch (milestone: 'rx' works)."""
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_demod_chain import make_lrit_signal  # noqa: E402
+        from xritdemod_tpu.models.decoder import DecoderConfig
+        from xritdemod_tpu.models.demodulator import DemodConfig
+        from xritdemod_tpu.runtime.apps import ReceiverApp
+
+        # Build IQ: modulate a real CADU symbol stream through the RRC
+        # shaping used by make_lrit_signal's machinery.
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        vcdus = tx.make_vcdus(30, scid=13, vcid=5, counter0=7, rng=rng)
+        symbols = tx.encode_stream(vcdus, lrit=True, amp=1.0, rng=rng)
+        sig = _modulate(symbols, cfg, rng)
+        path = str(tmp_path / "cap.bin")
+        sig.tofile(path)
+
+        fe = CFileFrontend(path)
+        app = ReceiverApp(
+            cfg,
+            DecoderConfig(mode="lrit", frames_per_block=4),
+            fe,
+            block_len=1 << 16,
+            vchannel_port=0,
+            statistics_port=0,
+        )
+        app.run()
+        st = app.decoder_app.stats
+        assert st.total_packets >= 16
+        assert st.frame_lock
+        assert st.scid == 13 and st.vcid == 5
+        assert st.dropped_packets <= 1  # acquisition transient only
+
+
+def _modulate(symbols: np.ndarray, cfg, rng) -> np.ndarray:
+    """BPSK-modulate soft symbols at cfg.sps with RRC shaping + impairments."""
+    from xritdemod_tpu.ops import filters
+
+    sps = cfg.sps
+    os_factor = 4
+    ntaps = 127
+    nsym = len(symbols)
+    fine_len = int(nsym * sps * os_factor) + ntaps * os_factor
+    impulses = np.zeros(fine_len)
+    pos = (np.arange(nsym) * sps * os_factor).astype(np.int64)
+    impulses[pos] = symbols
+    fine_rate = cfg.circuit_sample_rate * os_factor
+    rc = filters.rrc_taps(1.0, fine_rate, cfg.symbol_rate, cfg.rrc_alpha, ntaps * os_factor)
+    shaped = np.convolve(impulses, rc.astype(np.float64) * os_factor, mode="same")
+    sig = shaped[::os_factor].astype(np.complex128)
+    n = np.arange(len(sig))
+    sig = sig * np.exp(1j * (2 * np.pi * 1e-4 * n + 0.4)) * 0.3
+    sig += (rng.normal(size=len(sig)) + 1j * rng.normal(size=len(sig))) * 0.01
+    return sig.astype(np.complex64)

@@ -1,0 +1,132 @@
+"""Command line: `python -m xritdemod_tpu.cli {demod,decode,rx}`.
+
+Process-level drop-in for the reference's `xritDemodulator` and
+`xritDecoder` binaries (same config files, same ports), plus the fused
+`rx` mode running the whole receive chain in one process on the TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _hook_sigint(app) -> None:
+    """Ctrl-C -> graceful stop, second Ctrl-C -> hard exit
+    (reference ExitHandler semantics, demodulator.cpp:477-482)."""
+    from xritdemod_tpu.runtime.exit_handler import ExitHandler
+
+    ExitHandler.set_callback(lambda sig: app.stop())
+    ExitHandler.register_signal()
+
+
+def _demod(args) -> int:
+    from xritdemod_tpu.runtime.apps import DemodulatorApp
+    from xritdemod_tpu.runtime.config import demod_config_from_file
+    from xritdemod_tpu.runtime.frontends import make_frontend
+
+    cfg, parser = demod_config_from_file(args.config)
+    device_type = parser.get("deviceType", "cfile")
+    if args.file:
+        from xritdemod_tpu.runtime.frontends import CFileFrontend
+
+        frontend = CFileFrontend(args.file, realtime=args.realtime)
+    else:
+        frontend = make_frontend(device_type, parser)
+    app = DemodulatorApp(
+        cfg,
+        frontend,
+        decoder_address=parser.get("decoderAddress", "127.0.0.1"),
+        decoder_port=int(parser.get("decoderPort", "5000")),
+        send_constellation=parser.get("sendConstellation", "false").lower()
+        == "true",
+    )
+    print(f"xritdemod_tpu demod: {frontend.get_name()}, "
+          f"{cfg.symbol_rate} sym/s, sps={cfg.sps:.3f}")
+    _hook_sigint(app)
+    app.run(max_blocks=args.max_blocks)
+    print(f"symbols out: {app.symbols_out}")
+    return 0
+
+
+def _decode(args) -> int:
+    from xritdemod_tpu.runtime.apps import DecoderApp
+    from xritdemod_tpu.runtime.config import decoder_config_from_file
+
+    cfg, parser = decoder_config_from_file(args.config)
+    app = DecoderApp(
+        cfg,
+        demodulator_port=int(parser.get("demodulatorPort", "5000")),
+        vchannel_port=int(parser.get("vChannelPort", "5001")),
+        statistics_port=int(parser.get("statisticsPort", "5002")),
+        display=args.display or parser.get("display", "false").lower() == "true",
+        dump=parser.get("dumpPackets", "false").lower() == "true",
+    )
+    print(f"xritdemod_tpu decode: mode={cfg.mode}, listening :"
+          f"{app.demodulator_port}")
+    _hook_sigint(app)
+    app.run()
+    return 0
+
+
+def _rx(args) -> int:
+    from xritdemod_tpu.models.decoder import DecoderConfig
+    from xritdemod_tpu.runtime.apps import ReceiverApp
+    from xritdemod_tpu.runtime.config import demod_config_from_file
+    from xritdemod_tpu.runtime.frontends import CFileFrontend, make_frontend
+
+    cfg, parser = demod_config_from_file(args.config)
+    mode = parser.get("mode", "lrit")
+    if args.file:
+        frontend = CFileFrontend(args.file, realtime=args.realtime)
+    else:
+        frontend = make_frontend(parser.get("deviceType", "cfile"), parser)
+    app = ReceiverApp(
+        cfg,
+        DecoderConfig(mode=mode),
+        frontend,
+        display=args.display,
+        dump=args.dump,
+    )
+    print(f"xritdemod_tpu rx: {frontend.get_name()}, mode={mode}")
+    _hook_sigint(app)
+    app.run(max_blocks=args.max_blocks)
+    st = app.decoder_app.stats
+    print(
+        f"frames={st.total_packets - st.dropped_packets} "
+        f"dropped={st.dropped_packets} lost={st.lost_packets}"
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="xritdemod_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demod", help="demodulate IQ -> soft symbols TCP :5000")
+    d.add_argument("--config", default="xritdemod.cfg")
+    d.add_argument("--file", help="complex64 IQ capture (overrides config)")
+    d.add_argument("--realtime", action="store_true")
+    d.add_argument("--max-blocks", type=int, default=None)
+    d.set_defaults(fn=_demod)
+
+    c = sub.add_parser("decode", help="decode soft symbols -> VCDUs :5001")
+    c.add_argument("--config", default="xritdecoder.cfg")
+    c.add_argument("--display", action="store_true")
+    c.set_defaults(fn=_decode)
+
+    r = sub.add_parser("rx", help="fused demod+decode in one process")
+    r.add_argument("--config", default="xritdemod.cfg")
+    r.add_argument("--file", help="complex64 IQ capture (overrides config)")
+    r.add_argument("--realtime", action="store_true")
+    r.add_argument("--display", action="store_true")
+    r.add_argument("--dump", action="store_true")
+    r.add_argument("--max-blocks", type=int, default=None)
+    r.set_defaults(fn=_rx)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

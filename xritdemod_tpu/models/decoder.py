@@ -214,43 +214,84 @@ class StreamDecoder:
     def __init__(self, config: DecoderConfig = DecoderConfig()):
         self.config = config
         self.decoder = CaduDecoder(config)
+        # One-frame decoder for acquisition and stream-tail flush: the
+        # 46-of-64 threshold over 16384 lags false-locks readily on noise
+        # (as the reference's does), so commit only one frame until a frame
+        # actually verifies, then switch to the batched path.
+        self._dec1 = (
+            self.decoder
+            if config.frames_per_block == 1
+            else CaduDecoder(
+                dataclasses.replace(config, frames_per_block=1)
+            )
+        )
         self._buf = np.zeros(0, np.float32)
         self._tail = self.decoder.init_tail()
         self._locked = False
+        self._verified = False   # a frame passed sync since (re)acquisition
         self._pos = 0
         self.stats = _StreamStats()
+
+    def _emit(self, batch: FrameBatch) -> FrameBatch:
+        sync_ok = np.asarray(batch.sync_ok)
+        ok = np.asarray(batch.frame_ok)
+        self.stats.frames += int(ok.sum())
+        self.stats.dropped += int((~ok).sum())
+        if not sync_ok.all():
+            self._locked = False     # reacquire, like lastFrameOK = false
+            self._verified = False
+        elif sync_ok[-1]:
+            self._verified = True
+        return batch
+
+    def _try_acquire(self) -> bool:
+        need_sync = _CODED + corr_op.UW_BITS - 1
+        while True:
+            if len(self._buf) < need_sync:
+                return False
+            corr, word, pos = self.decoder.sync(self._buf[:need_sync])
+            if corr < self.config.min_correlation_bits:
+                # No sync in this frame-length window: slide one frame
+                # (the reference drops the chunk, newdecoder.cpp:244-247).
+                self._buf = self._buf[_CODED:]
+                continue
+            self._locked = True
+            self._verified = False
+            self._pos = pos
+            self.stats.resyncs += 1
+            return True
 
     def push(self, soft: np.ndarray) -> list[FrameBatch]:
         """Feed soft symbols (float or int8); returns decoded batches."""
         soft = np.asarray(soft, np.float32)
         self._buf = np.concatenate([self._buf, soft])
         B = self.config.frames_per_block
-        need_sync = _CODED + corr_op.UW_BITS - 1
         out: list[FrameBatch] = []
         while True:
-            if not self._locked:
-                if len(self._buf) < need_sync:
-                    break
-                corr, word, pos = self.decoder.sync(self._buf[:need_sync])
-                if corr < self.config.min_correlation_bits:
-                    # No sync in this frame-length window: slide one frame
-                    # (the reference drops the chunk, newdecoder.cpp:244-247).
-                    self._buf = self._buf[_CODED:]
-                    continue
-                self._locked = True
-                self._pos = pos
-                self.stats.resyncs += 1
-            if len(self._buf) < self._pos + B * _CODED:
+            if not self._locked and not self._try_acquire():
                 break
-            chunk = self._buf[self._pos : self._pos + B * _CODED]
-            batch, self._tail = self.decoder.decode_block(chunk, self._tail)
-            self._buf = self._buf[self._pos + B * _CODED :]
+            nb = B if self._verified else 1
+            dec = self.decoder if nb == B else self._dec1
+            if len(self._buf) < self._pos + nb * _CODED:
+                break
+            chunk = self._buf[self._pos : self._pos + nb * _CODED]
+            batch, self._tail = dec.decode_block(chunk, self._tail)
+            self._buf = self._buf[self._pos + nb * _CODED :]
             self._pos = 0
-            sync_ok = np.asarray(batch.sync_ok)
-            ok = np.asarray(batch.frame_ok)
-            self.stats.frames += int(ok.sum())
-            self.stats.dropped += int((~ok).sum())
-            if not sync_ok.all():
-                self._locked = False    # reacquire, like lastFrameOK=false
-            out.append(batch)
+            out.append(self._emit(batch))
+        return out
+
+    def flush(self) -> list[FrameBatch]:
+        """Decode any remaining complete frames one at a time (stream end)."""
+        out: list[FrameBatch] = []
+        while True:
+            if not self._locked and not self._try_acquire():
+                break
+            if len(self._buf) < self._pos + _CODED:
+                break
+            chunk = self._buf[self._pos : self._pos + _CODED]
+            batch, self._tail = self._dec1.decode_block(chunk, self._tail)
+            self._buf = self._buf[self._pos + _CODED :]
+            self._pos = 0
+            out.append(self._emit(batch))
         return out

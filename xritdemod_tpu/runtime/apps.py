@@ -1,0 +1,269 @@
+"""The three runnable applications: demodulator, decoder, fused receiver.
+
+These are the process-level equivalents of the reference's two programs —
+`xritDemodulator` (/root/reference/demodulator/src/demodulator.cpp:213-535)
+and `xritDecoder` (/root/reference/decoder/src/newdecoder.cpp:196-406) —
+plus a fused single-process receiver the reference cannot do (its process
+boundary was a CPU necessity; on TPU demod+decode is one device pipeline).
+Wire compatibility: int8 soft symbols in/out on :5000, VCDU payloads
+broadcast on :5001, packed Statistics_st on :5002, constellation UDP :9000.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+import numpy as np
+
+from xritdemod_tpu import constants as C
+from xritdemod_tpu.models.decoder import DecoderConfig, StreamDecoder
+from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator, quantize_symbols
+from xritdemod_tpu.runtime.channel_writer import ChannelWriter
+from xritdemod_tpu.runtime.diag import DiagManager
+from xritdemod_tpu.runtime.dispatchers import ChannelDispatcher, StatisticsDispatcher
+from xritdemod_tpu.runtime.display import Display
+from xritdemod_tpu.runtime.statistics import Statistics
+from xritdemod_tpu.runtime.symbol_manager import SampleFifo, SymbolSender
+
+__all__ = ["DemodulatorApp", "DecoderApp", "ReceiverApp"]
+
+
+class DemodulatorApp:
+    """frontend -> FIFO -> jitted demod blocks -> int8 symbols -> TCP :5000."""
+
+    def __init__(
+        self,
+        config: DemodConfig,
+        frontend,
+        decoder_address: str = "127.0.0.1",
+        decoder_port: int = C.DEFAULT_DECODER_PORT,
+        block_len: int = 1 << 17,
+        send_constellation: bool = False,
+        realtime: bool = False,
+    ):
+        self.config = config
+        self.frontend = frontend
+        self.demod = Demodulator(config, block_len)
+        # File playback gets producer backpressure; live sources keep the
+        # reference's drop-on-overflow policy (demodulator.cpp:104-106).
+        from xritdemod_tpu.runtime.frontends import CFileFrontend
+
+        blocking = isinstance(frontend, CFileFrontend) and not getattr(
+            frontend, "realtime", False
+        )
+        self.fifo = SampleFifo(C.FIFO_SIZE, blocking=blocking)
+        self.sender = SymbolSender(decoder_address, decoder_port)
+        self.diag = DiagManager() if send_constellation else None
+        self.block_len = block_len
+        self.realtime = realtime
+        self._running = False
+        self.symbols_out = 0
+
+    def _on_samples(self, iq: np.ndarray, sample_type: int) -> None:
+        self.fifo.push(iq)
+
+    def run(self, max_blocks: int | None = None) -> None:
+        self.frontend.set_sample_rate(self.config.sample_rate)
+        self.frontend.set_samples_available_callback(self._on_samples)
+        if self.diag:
+            self.diag.start()
+        state = self.demod.init_state()
+        self._running = True
+        self.frontend.start()
+        blocks = 0
+        try:
+            while self._running:
+                x = self.fifo.pop_block(self.block_len, timeout=1.0)
+                if x is None:
+                    if not getattr(self.frontend, "running", True):
+                        break
+                    continue
+                soft, valid, state = self.demod.process(x, state)
+                soft_np = np.asarray(quantize_symbols(soft))[np.asarray(valid)]
+                self.symbols_out += len(soft_np)
+                self.sender.add(soft_np)
+                self.sender.process()
+                if self.diag:
+                    self.diag.add_samples(soft_np.astype(np.float32) / 127.0)
+                blocks += 1
+                if max_blocks is not None and blocks >= max_blocks:
+                    break
+        finally:
+            self._running = False
+            self.fifo.close()
+            self.frontend.stop()
+            self.sender.process()
+            self.sender.close()
+            if self.diag:
+                self.diag.stop()
+
+    def stop(self) -> None:
+        self._running = False
+
+
+class DecoderApp:
+    """TCP :5000 int8 symbols -> StreamDecoder -> :5001/:5002/channel files."""
+
+    def __init__(
+        self,
+        config: DecoderConfig,
+        demodulator_port: int = C.DEFAULT_DEMODULATOR_PORT,
+        vchannel_port: int = C.DEFAULT_VCHANNEL_PORT,
+        statistics_port: int = C.DEFAULT_STATISTICS_PORT,
+        display: bool = False,
+        dump: bool = False,
+        channels_folder: str = "channels",
+    ):
+        self.config = config
+        self.decoder = StreamDecoder(config)
+        self.stats = Statistics()
+        self.channel_dispatcher = ChannelDispatcher(vchannel_port)
+        self.stats_dispatcher = StatisticsDispatcher(statistics_port)
+        self.writer = ChannelWriter(channels_folder) if dump else None
+        self.display = Display() if display else None
+        self.demodulator_port = demodulator_port
+        self._running = False
+        self._srv: socket.socket | None = None
+
+    def _emit(self, batch) -> None:
+        ok = np.asarray(batch.frame_ok)
+        vcdu = np.asarray(batch.vcdu)
+        scid = np.asarray(batch.scid)
+        vcid = np.asarray(batch.vcid)
+        counter = np.asarray(batch.counter)
+        vit = np.asarray(batch.vit_errors)
+        rse = np.asarray(batch.rs_errors)
+        corr = np.asarray(batch.corr)
+        word = np.asarray(batch.word)
+        sync_word = np.asarray(batch.sync_word)
+        for k in range(len(ok)):
+            self.stats.sync_word = bytes(sync_word[k].tolist())
+            self.stats.update_frame(
+                scid=scid[k],
+                vcid=vcid[k],
+                counter=counter[k],
+                vit_errors=vit[k],
+                rs_errors=rse[k],
+                sync_correlation=corr[k],
+                phase_correction=180 if word[k] % 2 else 0,
+                frame_ok=bool(ok[k]),
+            )
+            if ok[k]:
+                payload = vcdu[k].tobytes()
+                self.channel_dispatcher.add(payload)
+                if self.writer:
+                    self.writer.write_channel(payload, int(vcid[k]))
+            elif self.writer:
+                self.writer.dump_corrupted_packet_statistics(
+                    int(vit[k]), int(corr[k]), rse[k]
+                )
+            self.stats_dispatcher.update(self.stats)
+            if self.display:
+                self.display.show(self.stats)
+
+    def push_symbols(self, soft_int8: np.ndarray) -> None:
+        """Feed wire symbols directly (used by tests and the fused app)."""
+        for batch in self.decoder.push(
+            np.asarray(soft_int8, np.int8).astype(np.float32)
+        ):
+            self._emit(batch)
+
+    def flush(self) -> None:
+        """Decode remaining buffered frames (stream end / disconnect)."""
+        for batch in self.decoder.flush():
+            self._emit(batch)
+
+    def run(self) -> None:
+        """Accept demodulator connections and decode until stopped."""
+        self.channel_dispatcher.start()
+        self.stats_dispatcher.start()
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("0.0.0.0", self.demodulator_port))
+        self._srv.listen(1)
+        self._srv.settimeout(0.5)
+        self._running = True
+        try:
+            while self._running:
+                try:
+                    client, _ = self._srv.accept()
+                except socket.timeout:
+                    continue
+                client.settimeout(C.TIMEOUT)
+                try:
+                    while self._running:
+                        try:
+                            data = client.recv(C.CODED_FRAME_SIZE)
+                        except socket.timeout:
+                            continue
+                        if not data:
+                            break
+                        self.push_symbols(np.frombuffer(data, np.int8))
+                finally:
+                    self.flush()
+                    client.close()
+        finally:
+            self._running = False
+            self._srv.close()
+            self.channel_dispatcher.stop()
+            self.stats_dispatcher.stop()
+
+    def stop(self) -> None:
+        self._running = False
+
+
+class ReceiverApp:
+    """Fused demod+decode in one process: frontend -> device pipeline ->
+    dispatchers.  No symbol TCP hop (the reference's :5000 boundary exists
+    only for CPU pipelining; fusing removes a serialization point)."""
+
+    def __init__(
+        self,
+        demod_config: DemodConfig,
+        decoder_config: DecoderConfig,
+        frontend,
+        block_len: int = 1 << 17,
+        **decoder_kwargs,
+    ):
+        self.demod_app = DemodulatorApp(
+            demod_config, frontend, block_len=block_len
+        )
+        self.decoder_app = DecoderApp(decoder_config, **decoder_kwargs)
+        self._running = False
+
+    def run(self, max_blocks: int | None = None) -> None:
+        self.decoder_app.channel_dispatcher.start()
+        self.decoder_app.stats_dispatcher.start()
+        demod = self.demod_app
+        demod.frontend.set_sample_rate(demod.config.sample_rate)
+        demod.frontend.set_samples_available_callback(demod._on_samples)
+        state = demod.demod.init_state()
+        self._running = True
+        demod.frontend.start()
+        blocks = 0
+        try:
+            while self._running:
+                x = demod.fifo.pop_block(demod.block_len, timeout=1.0)
+                if x is None:
+                    if not getattr(demod.frontend, "running", True):
+                        break
+                    continue
+                soft, valid, state = demod.demod.process(x, state)
+                wire = np.asarray(quantize_symbols(soft))[np.asarray(valid)]
+                demod.symbols_out += len(wire)
+                self.decoder_app.push_symbols(wire)
+                blocks += 1
+                if max_blocks is not None and blocks >= max_blocks:
+                    break
+            self.decoder_app.flush()
+        finally:
+            self._running = False
+            demod.fifo.close()
+            demod.frontend.stop()
+            self.decoder_app.channel_dispatcher.stop()
+            self.decoder_app.stats_dispatcher.stop()
+
+    def stop(self) -> None:
+        self._running = False
