@@ -44,20 +44,23 @@ def main():
     )
     state = demod.init_state()
 
+    def sync(arr):
+        # jax.block_until_ready is a NO-OP on the axon backend (see
+        # .claude/skills/verify): the only reliable completion barrier is a
+        # device->host transfer, so pull one element.
+        return float(np.asarray(arr[0, 0]))
+
     # Warmup / compile.
     t0 = time.perf_counter()
     soft, valid, state = demod.process(x, state)
-    jax.block_until_ready(soft)
+    sync(soft)
     print(f"# compile+first {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # The axon relay is intermittently degraded (per-process slow mode, see
-    # .claude/skills/verify); per-iteration timing with a best-iteration
-    # metric measures the hardware, not the tunnel's bad days.
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         soft, valid, state = demod.process(x, state)
-        jax.block_until_ready(soft)
+        sync(soft)
         times.append(time.perf_counter() - t0)
 
     best = min(times)

@@ -180,6 +180,41 @@ class Demodulator:
             x = from_complex(x)
         return self._step(x, state)
 
+    # -- batch path ---------------------------------------------------------
+    def init_state_batch(self, channels: int) -> DemodState:
+        one = self.init_state()
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (channels,) + a.shape), one
+        )
+
+    def block_batch(self, x: CF32, state: DemodState):
+        """`(C, T)` CF32 block with `(C,)`-leading state: the throughput
+        path.  The FIR/AGC/Costas ops batch natively over leading dims; the
+        clock recovery uses the channels-in-lanes batch kernel (identical
+        math to vmap of `_block`, far faster on TPU)."""
+        cfg = self.config
+        if cfg.decimation > 1:
+            x, dec_hist = fir.fir_block(
+                x, self._dec_taps, state.dec_hist, cfg.decimation
+            )
+        else:
+            dec_hist = state.dec_hist
+        x, agc_gain = agc_op.agc_block(x, state.agc_gain, self._agc)
+        x, rrc_hist = fir.fir_block(x, self._rrc_taps, state.rrc_hist)
+        x, costas_state = costas_op.costas_block(x, state.costas, self._costas)
+        syms, valid, clock_state = cr_op.clock_recovery_block_batch(
+            x, state.clock, self._clock, self.num_slots
+        )
+        soft = syms.re
+        new_state = DemodState(
+            dec_hist=dec_hist,
+            agc_gain=agc_gain,
+            rrc_hist=rrc_hist,
+            costas=costas_state,
+            clock=clock_state,
+        )
+        return soft, valid, new_state
+
 
 def quantize_symbols(soft: jax.Array) -> jax.Array:
     """float soft symbols -> int8 wire format (SymbolManager.cpp:43-46)."""

@@ -46,6 +46,7 @@ __all__ = [
     "ClockRecoveryState",
     "clock_recovery_init",
     "clock_recovery_block",
+    "clock_recovery_block_batch",
     "max_symbols",
     "NTAIL",
     "INTERP_TAPS",
@@ -144,16 +145,27 @@ def clock_recovery_block(
     S = _window_size(params, chunk)
     n_outer = -(-num_slots // chunk)
 
+    s_iota = jnp.arange(S, dtype=jnp.int32)
+
     def inner_step(carry, _):
         mu, omega, ii, base, pr, pi, cr, ci, wr, wi = carry
         valid = ii < limit
         il = jnp.clip(ii - base, 0, S - INTERP_TAPS)
-        wr8 = jax.lax.dynamic_slice(wr, (il,), (INTERP_TAPS,))
-        wi8 = jax.lax.dynamic_slice(wi, (il,), (INTERP_TAPS,))
 
-        taps = _interp_taps(mu)
-        p0r = jnp.sum(wr8 * taps)
-        p0i = jnp.sum(wi8 * taps)
+        # Gather-free window extraction: under vmap a per-channel
+        # dynamic_slice lowers to an XLA gather that serializes channel
+        # rows (~50 us each on TPU — 14 s/block at 256 channels).  Instead
+        # evaluate the 8 interpolator taps *in place* over the whole
+        # S-lane window with a validity mask — pure elementwise VPU work,
+        # identical taps, no data-dependent addressing.
+        offs = s_iota - il
+        in_tap = (offs >= 0) & (offs < INTERP_TAPS)
+        u = offs.astype(jnp.float32) - 3.0 - mu
+        wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
+        t = jnp.where(in_tap, jnp.sinc(u) * wwin, 0.0)
+        t = t / jnp.sum(t)
+        p0r = jnp.sum(wr * t)
+        p0i = jnp.sum(wi * t)
         # GR slicer_0deg: component -> 1.0 if > 0 else 0.0
         c0r = jnp.where(p0r > 0, 1.0, 0.0)
         c0i = jnp.where(p0i > 0, 1.0, 0.0)
@@ -228,5 +240,138 @@ def clock_recovery_block(
         p=CF32(pr, pi),
         c=CF32(cr, ci),
         tail=CF32(xr[-NTAIL:], xi[-NTAIL:]),
+    )
+    return CF32(sr, si), valid, new_state
+
+
+def clock_recovery_block_batch(
+    x: CF32,
+    state: ClockRecoveryState,
+    params: ClockRecoveryParams,
+    num_slots: int,
+    chunk: int = 64,
+    unroll: int = 4,
+) -> tuple[CF32, jax.Array, ClockRecoveryState]:
+    """Batch-native variant: `(C, T)` input, `(C,)`-leading state pytree.
+
+    Mathematically identical to `jax.vmap(clock_recovery_block)` but laid
+    out channels-last inside the inner loop — the chunk window lives as
+    `(S, C)` so the tap/accumulate reductions run over *sublanes* while the
+    C channels fill the VPU lanes (reductions over the 128-lane axis were
+    the dominant cost of the vmapped form).  This is the throughput path
+    used by the channel-parallel receiver.
+    """
+    C = x.re.shape[0]
+    omega_mid = jnp.float32(params.omega)
+    omega_lim = jnp.float32(params.omega * params.omega_relative_limit)
+    gain_omega = jnp.float32(params.gain_omega)
+    gain_mu = jnp.float32(params.gain_mu)
+
+    xr = jnp.concatenate([state.tail.re, x.re], axis=-1)   # (C, n)
+    xi = jnp.concatenate([state.tail.im, x.im], axis=-1)
+    n = xr.shape[-1]
+    limit = n - INTERP_TAPS
+    S = _window_size(params, chunk)
+    n_outer = -(-num_slots // chunk)
+    s_iota = jnp.arange(S, dtype=jnp.int32)[:, None]        # (S, 1)
+
+    def inner_step(carry, _):
+        mu, omega, ii, base, pr, pi, cr, ci, wr, wi = carry
+        # mu/omega/ii/base: (C,);  p/c history: (3, C);  w: (S, C)
+        valid = ii < limit
+        il = jnp.clip(ii - base, 0, S - INTERP_TAPS)        # (C,)
+
+        offs = s_iota - il[None, :]                          # (S, C)
+        in_tap = (offs >= 0) & (offs < INTERP_TAPS)
+        u = offs.astype(jnp.float32) - 3.0 - mu[None, :]
+        wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
+        t = jnp.where(in_tap, jnp.sinc(u) * wwin, 0.0)
+        t = t / jnp.sum(t, axis=0)                           # sublane reduce
+        p0r = jnp.sum(wr * t, axis=0)                        # (C,)
+        p0i = jnp.sum(wi * t, axis=0)
+
+        c0r = jnp.where(p0r > 0, 1.0, 0.0)
+        c0i = jnp.where(p0i > 0, 1.0, 0.0)
+        e = (
+            (p0r - pr[2]) * cr[1]
+            + (p0i - pi[2]) * ci[1]
+            - ((c0r - cr[2]) * pr[1] + (c0i - ci[2]) * pi[1])
+        )
+        e = jnp.clip(e, -1.0, 1.0)
+
+        new_omega = omega + gain_omega * e
+        new_omega = omega_mid + jnp.clip(new_omega - omega_mid, -omega_lim, omega_lim)
+        new_mu = mu + new_omega + gain_mu * e
+        adv = jnp.floor(new_mu)
+        new_ii = jnp.maximum(ii + adv.astype(jnp.int32), 0)
+        new_mu = new_mu - adv
+
+        new_pr = jnp.stack([p0r, pr[0], pr[1]])
+        new_pi = jnp.stack([p0i, pi[0], pi[1]])
+        new_cr = jnp.stack([c0r, cr[0], cr[1]])
+        new_ci = jnp.stack([c0i, ci[0], ci[1]])
+
+        carry = (
+            jnp.where(valid, new_mu, mu),
+            jnp.where(valid, new_omega, omega),
+            jnp.where(valid, new_ii, ii),
+            base,
+            jnp.where(valid[None, :], new_pr, pr),
+            jnp.where(valid[None, :], new_pi, pi),
+            jnp.where(valid[None, :], new_cr, cr),
+            jnp.where(valid[None, :], new_ci, ci),
+            wr,
+            wi,
+        )
+        out = (
+            jnp.where(valid, p0r, 0.0),
+            jnp.where(valid, p0i, 0.0),
+            valid,
+        )
+        return carry, out
+
+    def fetch(arr, base):
+        # (C, S) per-channel windows -> transposed (S, C) for the inner loop
+        win = jax.vmap(
+            lambda row, b: jax.lax.dynamic_slice(row, (b,), (S,))
+        )(arr, base)
+        return win.T
+
+    def outer_step(carry, _):
+        mu, omega, ii, pr, pi, cr, ci = carry
+        base = jnp.clip(ii, 0, n - S)                        # (C,)
+        wr = fetch(xr, base)
+        wi = fetch(xi, base)
+        c0 = (mu, omega, ii, base, pr, pi, cr, ci, wr, wi)
+        (mu, omega, ii, _, pr, pi, cr, ci, _, _), outs = jax.lax.scan(
+            inner_step, c0, None, length=chunk, unroll=unroll
+        )
+        return (mu, omega, ii, pr, pi, cr, ci), outs
+
+    # state.p/c arrive (C, 3); the kernel wants (3, C)
+    carry0 = (
+        state.mu,
+        state.omega,
+        state.ii,
+        jnp.swapaxes(state.p.re, 0, 1),
+        jnp.swapaxes(state.p.im, 0, 1),
+        jnp.swapaxes(state.c.re, 0, 1),
+        jnp.swapaxes(state.c.im, 0, 1),
+    )
+    (mu, omega, ii, pr, pi, cr, ci), (sr, si, valid) = jax.lax.scan(
+        outer_step, carry0, None, length=n_outer
+    )
+    # outs stacked (n_outer, chunk, C) -> (C, n_outer*chunk) -> truncate
+    sr = sr.reshape(-1, C).T[:, :num_slots]
+    si = si.reshape(-1, C).T[:, :num_slots]
+    valid = valid.reshape(-1, C).T[:, :num_slots]
+
+    new_state = ClockRecoveryState(
+        mu=mu,
+        omega=omega,
+        ii=ii - (n - NTAIL),
+        p=CF32(jnp.swapaxes(pr, 0, 1), jnp.swapaxes(pi, 0, 1)),
+        c=CF32(jnp.swapaxes(cr, 0, 1), jnp.swapaxes(ci, 0, 1)),
+        tail=CF32(xr[:, -NTAIL:], xi[:, -NTAIL:]),
     )
     return CF32(sr, si), valid, new_state

@@ -57,7 +57,9 @@ class ChannelDemodulator:
         self._demod = Demodulator(config, block_len)
         self.num_slots = self._demod.num_slots
 
-        step = jax.vmap(self._demod._block)
+        # Batch-native path (channels-in-lanes clock kernel); identical
+        # math to jax.vmap(self._demod._block) but far faster on TPU.
+        step = self._demod.block_batch
         if mesh is not None:
             spec = P(axis)
             shardings = NamedSharding(mesh, spec)
@@ -76,10 +78,7 @@ class ChannelDemodulator:
             self._step = jax.jit(step)
 
     def init_state(self) -> DemodState:
-        one = self._demod.init_state()
-        state = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (self.channels,) + x.shape), one
-        )
+        state = self._demod.init_state_batch(self.channels)
         if self._sharding is not None:
             state = jax.device_put(state, self._sharding)
         return state
