@@ -249,106 +249,141 @@ def clock_recovery_block_batch(
     state: ClockRecoveryState,
     params: ClockRecoveryParams,
     num_slots: int,
-    chunk: int = 64,
+    chunk: int = 32,
+    superchunks: int = 16,
     unroll: int = 4,
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Batch-native variant: `(C, T)` input, `(C,)`-leading state pytree.
 
-    Mathematically identical to `jax.vmap(clock_recovery_block)` but laid
-    out channels-last inside the inner loop — the chunk window lives as
-    `(S, C)` so the tap/accumulate reductions run over *sublanes* while the
-    C channels fill the VPU lanes (reductions over the 128-lane axis were
-    the dominant cost of the vmapped form).  This is the throughput path
-    used by the channel-parallel receiver.
+    Mathematically identical to `jax.vmap(clock_recovery_block)` (same
+    window contents, taps, and update order) but restructured for TPU:
+
+      - channels-last layout: the window lives as `(S, C)` so tap
+        reductions run over sublanes while C channels fill the VPU lanes;
+      - *super-chunk staging*: the per-channel window gather (a serialized
+        row gather under XLA, ~0.8 ms/chunk at 256 channels) happens once
+        per `superchunks` chunks; each chunk's window is then a *static*
+        slice of the staged buffer, sized to cover the bounded clock drift
+        (omega hard-limited to +-0.5%, mu nudge to gain_mu).
+
+    This is the throughput path used by the channel-parallel receiver.
     """
     C = x.re.shape[0]
     omega_mid = jnp.float32(params.omega)
     omega_lim = jnp.float32(params.omega * params.omega_relative_limit)
     gain_omega = jnp.float32(params.gain_omega)
     gain_mu = jnp.float32(params.gain_mu)
+    om = params.omega
+    om_max = om * (1.0 + params.omega_relative_limit) + params.gain_mu
 
     xr = jnp.concatenate([state.tail.re, x.re], axis=-1)   # (C, n)
     xi = jnp.concatenate([state.tail.im, x.im], axis=-1)
     n = xr.shape[-1]
     limit = n - INTERP_TAPS
-    S = _window_size(params, chunk)
-    n_outer = -(-num_slots // chunk)
+
+    # Geometry: chunk m of a super-chunk starts within +-dmax of
+    # m*chunk*omega samples past the super base.
+    dmax = math.ceil(superchunks * chunk * (om * params.omega_relative_limit
+                                            + params.gain_mu)) + 8
+    w0 = [max(0, math.floor(m * chunk * om) - dmax) for m in range(superchunks)]
+    S = max(
+        math.floor(m * chunk * om) + dmax + math.ceil(chunk * om_max)
+        + INTERP_TAPS + 4 - w0[m]
+        for m in range(superchunks)
+    )
+    SW = w0[-1] + S
+    cols = superchunks * chunk
+    n_super = -(-num_slots // cols)
+
+    # Pad so super windows never clip (padded samples die by the ii<limit
+    # mask; base = ii then never needs clamping, keeping il in range).
+    pad = jnp.zeros((C, SW), jnp.float32)
+    xr_p = jnp.concatenate([xr, pad], axis=-1)
+    xi_p = jnp.concatenate([xi, pad], axis=-1)
+
     s_iota = jnp.arange(S, dtype=jnp.int32)[:, None]        # (S, 1)
 
-    def inner_step(carry, _):
-        mu, omega, ii, base, pr, pi, cr, ci, wr, wi = carry
-        # mu/omega/ii/base: (C,);  p/c history: (3, C);  w: (S, C)
-        valid = ii < limit
-        il = jnp.clip(ii - base, 0, S - INTERP_TAPS)        # (C,)
+    def make_inner(wr, wi, base, woff):
+        def inner_step(carry, _):
+            mu, omega, ii, pr, pi, cr, ci = carry
+            valid = ii < limit
+            il = jnp.clip(ii - base - woff, 0, S - INTERP_TAPS)   # (C,)
 
-        offs = s_iota - il[None, :]                          # (S, C)
-        in_tap = (offs >= 0) & (offs < INTERP_TAPS)
-        u = offs.astype(jnp.float32) - 3.0 - mu[None, :]
-        wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
-        t = jnp.where(in_tap, jnp.sinc(u) * wwin, 0.0)
-        t = t / jnp.sum(t, axis=0)                           # sublane reduce
-        p0r = jnp.sum(wr * t, axis=0)                        # (C,)
-        p0i = jnp.sum(wi * t, axis=0)
+            offs = s_iota - il[None, :]                          # (S, C)
+            in_tap = (offs >= 0) & (offs < INTERP_TAPS)
+            u = offs.astype(jnp.float32) - 3.0 - mu[None, :]
+            wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
+            t = jnp.where(in_tap, jnp.sinc(u) * wwin, 0.0)
+            t = t / jnp.sum(t, axis=0)                           # sublane reduce
+            p0r = jnp.sum(wr * t, axis=0)                        # (C,)
+            p0i = jnp.sum(wi * t, axis=0)
 
-        c0r = jnp.where(p0r > 0, 1.0, 0.0)
-        c0i = jnp.where(p0i > 0, 1.0, 0.0)
-        e = (
-            (p0r - pr[2]) * cr[1]
-            + (p0i - pi[2]) * ci[1]
-            - ((c0r - cr[2]) * pr[1] + (c0i - ci[2]) * pi[1])
-        )
-        e = jnp.clip(e, -1.0, 1.0)
+            c0r = jnp.where(p0r > 0, 1.0, 0.0)
+            c0i = jnp.where(p0i > 0, 1.0, 0.0)
+            e = (
+                (p0r - pr[2]) * cr[1]
+                + (p0i - pi[2]) * ci[1]
+                - ((c0r - cr[2]) * pr[1] + (c0i - ci[2]) * pi[1])
+            )
+            e = jnp.clip(e, -1.0, 1.0)
 
-        new_omega = omega + gain_omega * e
-        new_omega = omega_mid + jnp.clip(new_omega - omega_mid, -omega_lim, omega_lim)
-        new_mu = mu + new_omega + gain_mu * e
-        adv = jnp.floor(new_mu)
-        new_ii = jnp.maximum(ii + adv.astype(jnp.int32), 0)
-        new_mu = new_mu - adv
+            new_omega = omega + gain_omega * e
+            new_omega = omega_mid + jnp.clip(
+                new_omega - omega_mid, -omega_lim, omega_lim
+            )
+            new_mu = mu + new_omega + gain_mu * e
+            adv = jnp.floor(new_mu)
+            new_ii = jnp.maximum(ii + adv.astype(jnp.int32), 0)
+            new_mu = new_mu - adv
 
-        new_pr = jnp.stack([p0r, pr[0], pr[1]])
-        new_pi = jnp.stack([p0i, pi[0], pi[1]])
-        new_cr = jnp.stack([c0r, cr[0], cr[1]])
-        new_ci = jnp.stack([c0i, ci[0], ci[1]])
+            new_pr = jnp.stack([p0r, pr[0], pr[1]])
+            new_pi = jnp.stack([p0i, pi[0], pi[1]])
+            new_cr = jnp.stack([c0r, cr[0], cr[1]])
+            new_ci = jnp.stack([c0i, ci[0], ci[1]])
 
-        carry = (
-            jnp.where(valid, new_mu, mu),
-            jnp.where(valid, new_omega, omega),
-            jnp.where(valid, new_ii, ii),
-            base,
-            jnp.where(valid[None, :], new_pr, pr),
-            jnp.where(valid[None, :], new_pi, pi),
-            jnp.where(valid[None, :], new_cr, cr),
-            jnp.where(valid[None, :], new_ci, ci),
-            wr,
-            wi,
-        )
-        out = (
-            jnp.where(valid, p0r, 0.0),
-            jnp.where(valid, p0i, 0.0),
-            valid,
-        )
-        return carry, out
+            carry = (
+                jnp.where(valid, new_mu, mu),
+                jnp.where(valid, new_omega, omega),
+                jnp.where(valid, new_ii, ii),
+                jnp.where(valid[None, :], new_pr, pr),
+                jnp.where(valid[None, :], new_pi, pi),
+                jnp.where(valid[None, :], new_cr, cr),
+                jnp.where(valid[None, :], new_ci, ci),
+            )
+            out = (
+                jnp.where(valid, p0r, 0.0),
+                jnp.where(valid, p0i, 0.0),
+                valid,
+            )
+            return carry, out
 
-    def fetch(arr, base):
-        # (C, S) per-channel windows -> transposed (S, C) for the inner loop
-        win = jax.vmap(
-            lambda row, b: jax.lax.dynamic_slice(row, (b,), (S,))
-        )(arr, base)
-        return win.T
+        return inner_step
 
-    def outer_step(carry, _):
+    def super_step(carry, _):
         mu, omega, ii, pr, pi, cr, ci = carry
-        base = jnp.clip(ii, 0, n - S)                        # (C,)
-        wr = fetch(xr, base)
-        wi = fetch(xi, base)
-        c0 = (mu, omega, ii, base, pr, pi, cr, ci, wr, wi)
-        (mu, omega, ii, _, pr, pi, cr, ci, _, _), outs = jax.lax.scan(
-            inner_step, c0, None, length=chunk, unroll=unroll
-        )
-        return (mu, omega, ii, pr, pi, cr, ci), outs
+        base = ii                                           # (C,), no clip
+        # One serialized-row gather per super-chunk, channels-last.
+        win_r = jax.vmap(
+            lambda row, b: jax.lax.dynamic_slice(row, (b,), (SW,))
+        )(xr_p, base).T                                     # (SW, C)
+        win_i = jax.vmap(
+            lambda row, b: jax.lax.dynamic_slice(row, (b,), (SW,))
+        )(xi_p, base).T
+        st = (mu, omega, ii, pr, pi, cr, ci)
+        outs = []
+        for m in range(superchunks):
+            wr = win_r[w0[m] : w0[m] + S]                   # static slices
+            wi = win_i[w0[m] : w0[m] + S]
+            st, o = jax.lax.scan(
+                make_inner(wr, wi, base, w0[m]), st, None,
+                length=chunk, unroll=unroll,
+            )
+            outs.append(o)
+        sr = jnp.concatenate([o[0] for o in outs])          # (cols, C)
+        si = jnp.concatenate([o[1] for o in outs])
+        vd = jnp.concatenate([o[2] for o in outs])
+        return st, (sr, si, vd)
 
-    # state.p/c arrive (C, 3); the kernel wants (3, C)
     carry0 = (
         state.mu,
         state.omega,
@@ -359,9 +394,8 @@ def clock_recovery_block_batch(
         jnp.swapaxes(state.c.im, 0, 1),
     )
     (mu, omega, ii, pr, pi, cr, ci), (sr, si, valid) = jax.lax.scan(
-        outer_step, carry0, None, length=n_outer
+        super_step, carry0, None, length=n_super
     )
-    # outs stacked (n_outer, chunk, C) -> (C, n_outer*chunk) -> truncate
     sr = sr.reshape(-1, C).T[:, :num_slots]
     si = si.reshape(-1, C).T[:, :num_slots]
     valid = valid.reshape(-1, C).T[:, :num_slots]

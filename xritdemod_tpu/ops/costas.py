@@ -72,7 +72,7 @@ def costas_block(
     x: CF32,
     state: CostasState,
     params: CostasParams,
-    unroll: int = 8,
+    unroll: int = 32,
 ) -> tuple[CF32, CostasState]:
     """Run the Costas loop over a `(..., T)` CF32 block.
 
