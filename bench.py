@@ -30,7 +30,7 @@ def main():
     from xritdemod_tpu.parallel.channels import ChannelDemodulator
     from xritdemod_tpu.utils.cplx import CF32
 
-    C = int(os.environ.get("BENCH_CHANNELS", "256"))
+    C = int(os.environ.get("BENCH_CHANNELS", "512"))
     T = int(os.environ.get("BENCH_BLOCK", str(1 << 17)))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
 

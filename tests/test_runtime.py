@@ -215,3 +215,42 @@ def _modulate(symbols: np.ndarray, cfg, rng) -> np.ndarray:
     sig = sig * np.exp(1j * (2 * np.pi * 1e-4 * n + 0.4)) * 0.3
     sig += (rng.normal(size=len(sig)) + 1j * rng.normal(size=len(sig))) * 0.01
     return sig.astype(np.complex64)
+
+
+class TestCheckpoint:
+    def test_demod_state_roundtrip(self, tmp_path, rng):
+        from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
+        from xritdemod_tpu.runtime.checkpoint import load_state, save_state
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        demod = Demodulator(cfg, block_len=1 << 14)
+        sig = (rng.normal(size=1 << 14) + 1j * rng.normal(size=1 << 14)).astype(
+            np.complex64
+        )
+        _, _, state = demod.process(sig, demod.init_state())
+        path = str(tmp_path / "state.npz")
+        save_state(path, state)
+        restored = load_state(path, demod.init_state())
+        for a, b in zip(
+            __import__("jax").tree.leaves(state),
+            __import__("jax").tree.leaves(restored),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # resumed decode continues identically
+        s1, v1, _ = demod.process(sig, state)
+        s2, v2, _ = demod.process(sig, restored)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+class TestMetrics:
+    def test_rates_and_summary(self):
+        from xritdemod_tpu.runtime.metrics import PipelineMetrics
+
+        m = PipelineMetrics(window=60)
+        for _ in range(5):
+            m.add_samples(1000)
+            m.add_frames(2)
+            time.sleep(0.01)
+        assert m.samples.total == 5000
+        assert m.samples.rate() > 0
+        assert "Msamp/s" in m.summary()

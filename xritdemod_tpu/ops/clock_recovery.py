@@ -249,8 +249,8 @@ def clock_recovery_block_batch(
     state: ClockRecoveryState,
     params: ClockRecoveryParams,
     num_slots: int,
-    chunk: int = 32,
-    superchunks: int = 16,
+    chunk: int = 16,
+    superchunks: int = 32,
     unroll: int = 4,
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Batch-native variant: `(C, T)` input, `(C,)`-leading state pytree.
