@@ -1,12 +1,21 @@
-"""Benchmark: demod-chain throughput per chip (headline metric).
+"""Benchmark harness: one JSON line per run (driver contract).
 
-Measures Msamples/s/chip through the full BPSK demod chain (AGC -> RRC FIR
--> Costas -> M&M clock recovery) on a channel-batched block, the TPU-native
-replacement for the reference's single-stream real-time pipeline.
+Headline (default): demod-chain throughput per chip — Msamples/s through the
+full BPSK demod chain (AGC -> RRC FIR -> Costas -> M&M clock recovery) on a
+channel-batched block, the TPU-native replacement for the reference's
+single-stream real-time pipeline.
+
+Selectable via env:
+  BENCH_KIND=demod|decode   (default demod)
+  BENCH_MODE=lrit|hrit      (default lrit)
+  BENCH_CHANNELS / BENCH_BLOCK / BENCH_ITERS / BENCH_FRAMES
 
 vs_baseline is the multiple of the reference's implied real-time operating
-point — it must sustain its configured input rate of 1.25 Msps for GOES
-LRIT on a desktop CPU (BASELINE.md; /root/reference/demodulator/xritdemod.cfg:9).
+point (BASELINE.md — it publishes no numbers, only "sustain the configured
+rate"): LRIT 1.25 Msps input / 293883 sym/s -> 35.87 coded frames/s; HRIT
+3.0 Msps / 927000 sym/s -> 113.16 frames/s
+(/root/reference/demodulator/src/Parameters.h:17-24,
+/root/reference/decoder/src/parameters.h:28-30).
 Target from BASELINE.json: >= 100x real time per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -21,8 +30,18 @@ import time
 
 import numpy as np
 
+LRIT_RATE = 1_250_000      # reference cfile config input rate (xritdemod.cfg:9)
+HRIT_RATE = 3_000_000      # Airspy Mini default (Parameters.h:41)
 
-def main():
+
+def _sync(arr):
+    # jax.block_until_ready is a NO-OP on the axon backend (see
+    # .claude/skills/verify): the only reliable completion barrier is a
+    # device->host transfer, so pull one element.
+    return float(np.asarray(arr).ravel()[0])
+
+
+def bench_demod(mode: str):
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +53,17 @@ def main():
     T = int(os.environ.get("BENCH_BLOCK", str(1 << 17)))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
 
-    cfg = DemodConfig.lrit(sample_rate=1_250_000)
+    if mode == "hrit":
+        cfg = DemodConfig.hrit(sample_rate=HRIT_RATE)
+        baseline_msps = HRIT_RATE / 1e6
+    else:
+        cfg = DemodConfig.lrit(sample_rate=LRIT_RATE)
+        baseline_msps = LRIT_RATE / 1e6
+    K = int(os.environ.get("BENCH_CLOCK_UPDATE", "-1"))
+    if K >= 0:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, clock_block_update=K)
     demod = ChannelDemodulator(cfg, channels=C, block_len=T)
 
     rng = np.random.default_rng(0)
@@ -44,32 +73,25 @@ def main():
     )
     state = demod.init_state()
 
-    def sync(arr):
-        # jax.block_until_ready is a NO-OP on the axon backend (see
-        # .claude/skills/verify): the only reliable completion barrier is a
-        # device->host transfer, so pull one element.
-        return float(np.asarray(arr[0, 0]))
-
-    # Warmup / compile.
     t0 = time.perf_counter()
     soft, valid, state = demod.process(x, state)
-    sync(soft)
+    _sync(soft[0, 0])
     print(f"# compile+first {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         soft, valid, state = demod.process(x, state)
-        sync(soft)
+        _sync(soft[0, 0])
         times.append(time.perf_counter() - t0)
 
     best = min(times)
     msps = C * T / best / 1e6
-    baseline_msps = 1.25  # reference real-time LRIT input rate, 1 stream
+    suffix = "" if mode == "lrit" else f"_{mode}"
     print(
         json.dumps(
             {
-                "metric": "demod_chain_throughput_per_chip",
+                "metric": f"demod_chain_throughput_per_chip{suffix}",
                 "value": round(msps, 2),
                 "unit": "Msamples/s",
                 "vs_baseline": round(msps / baseline_msps, 1),
@@ -77,10 +99,81 @@ def main():
         )
     )
     print(
-        f"# channels={C} block={T} iters={iters} "
+        f"# kind=demod mode={mode} channels={C} block={T} iters={iters} "
         f"times={[round(t, 3) for t in times]} backend={jax.default_backend()}",
         file=sys.stderr,
     )
+
+
+def bench_decode(mode: str):
+    """CADU decode chain throughput: coded frames/s through sync readout +
+    Viterbi + NRZ-M + derandomize + RS(255,223)x4 on batched frames."""
+    import jax
+
+    from xritdemod_tpu import constants as C
+    from xritdemod_tpu import tx
+    from xritdemod_tpu.models.decoder import CaduDecoder, DecoderConfig
+
+    B = int(os.environ.get("BENCH_FRAMES", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "6"))
+    lrit = mode == "lrit"
+
+    vcdus = tx.make_vcdus(B, rng=np.random.default_rng(1))
+    soft = tx.encode_stream(vcdus, lrit=lrit, noise=0.1)
+    import jax.numpy as jnp
+
+    soft_dev = jnp.asarray(soft)
+
+    dec = CaduDecoder(DecoderConfig(mode=mode, frames_per_block=B))
+    tail = dec.init_tail()
+
+    t0 = time.perf_counter()
+    batch, tail = dec.decode_block(soft_dev, tail)
+    _sync(batch.vit_errors)
+    print(f"# compile+first {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    ok = int(np.asarray(batch.frame_ok).sum())
+    assert ok == B, f"decode bench integrity: {ok}/{B} frames ok"
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        batch, tail = dec.decode_block(soft_dev, tail)
+        _sync(batch.vit_errors)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    fps = B / best
+    # Reference real-time operating point: symbolRate / FRAMEBITS frames/s
+    # (decoder/src/parameters.h:28-30).
+    sym_rate = C.LRIT_SYMBOL_RATE if lrit else C.HRIT_SYMBOL_RATE
+    baseline_fps = sym_rate / C.FRAME_BITS
+    suffix = "" if lrit else f"_{mode}"
+    print(
+        json.dumps(
+            {
+                "metric": f"decode_chain_throughput_per_chip{suffix}",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 1),
+            }
+        )
+    )
+    print(
+        f"# kind=decode mode={mode} frames={B} iters={iters} "
+        f"times={[round(t, 3) for t in times]} "
+        f"coded_Msym/s={B * C.CODED_FRAME_SIZE / best / 1e6:.1f} "
+        f"backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+def main():
+    kind = os.environ.get("BENCH_KIND", "demod")
+    mode = os.environ.get("BENCH_MODE", "lrit")
+    if kind == "decode":
+        bench_decode(mode)
+    else:
+        bench_demod(mode)
 
 
 if __name__ == "__main__":

@@ -62,3 +62,103 @@ def test_lrit_chain_locks(rng):
 def test_quantize_symbols():
     q = quantize_symbols(jnp.asarray([0.5, -0.5, 2.0, -2.0, 0.0]))
     np.testing.assert_array_equal(np.asarray(q), [63, -63, 127, -128, 0])
+
+
+class TestBlockUpdateClock:
+    """The K-symbol block-update M&M variant (clock_block_update=K) must
+    degenerate to the exact kernel at K=1 and keep the chain's post-FEC
+    bit-exactness at the production K."""
+
+    def _batch(self, sig, C):
+        from xritdemod_tpu.utils.cplx import CF32
+
+        return CF32(
+            jnp.asarray(np.tile(sig.real, (C, 1)).astype(np.float32)),
+            jnp.asarray(np.tile(sig.imag, (C, 1)).astype(np.float32)),
+        )
+
+    def test_k1_degenerates_to_exact(self, rng):
+        import jax
+
+        from xritdemod_tpu.ops import clock_recovery as cr
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        sig, _ = make_lrit_signal(rng, 9_000, cfg)
+        T = 1 << 15
+        x = self._batch(sig[:T], 2)
+        params = cr.ClockRecoveryParams(
+            omega=cfg.sps,
+            gain_omega=cfg.clock_alpha**2 / 4,
+            gain_mu=cfg.clock_alpha,
+            omega_relative_limit=cfg.clock_omega_limit,
+        )
+        ns = cr.max_symbols(T, params)
+        st = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (2,) + a.shape),
+            cr.clock_recovery_init(params, cfg.clock_mu),
+        )
+        s_ex, v_ex, st_ex = cr.clock_recovery_block_batch(x, st, params, ns)
+        s_k1, v_k1, st_k1 = cr.clock_recovery_block_update_batch(
+            x, st, params, ns, chunk=1
+        )
+        # identical clock trajectory (mu/omega/ii/histories bit-equal) …
+        np.testing.assert_array_equal(np.asarray(st_ex.mu), np.asarray(st_k1.mu))
+        np.testing.assert_array_equal(np.asarray(st_ex.ii), np.asarray(st_k1.ii))
+        np.testing.assert_array_equal(np.asarray(v_ex), np.asarray(v_k1))
+        # … and symbols equal to float reduction order
+        np.testing.assert_allclose(
+            np.asarray(s_ex.re), np.asarray(s_k1.re), atol=1e-5
+        )
+
+    def test_k16_chain_decodes_bit_exact(self, rng):
+        """RF in -> block-update demod -> decode: VCDU payloads bit-exact."""
+        from xritdemod_tpu import tx
+        from xritdemod_tpu.models.decoder import DecoderConfig, StreamDecoder
+        from xritdemod_tpu.parallel.channels import ChannelDemodulator
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000, clock_block_update=16)
+        nframes = 6
+        vcdus = tx.make_vcdus(nframes, scid=13, vcid=5, rng=rng)
+        symbols = tx.encode_stream(vcdus, lrit=True)
+
+        sps = cfg.sps
+        os_factor = 4
+        ntaps = 127
+        nsym = len(symbols)
+        fine_len = int(nsym * sps * os_factor) + ntaps * os_factor
+        impulses = np.zeros(fine_len)
+        pos = (np.arange(nsym) * sps * os_factor).astype(np.int64)
+        impulses[pos] = symbols
+        fine_rate = cfg.circuit_sample_rate * os_factor
+        rc = filters.rrc_taps(
+            1.0, fine_rate, cfg.symbol_rate, cfg.rrc_alpha, ntaps * os_factor
+        )
+        shaped = np.convolve(impulses, rc.astype(np.float64) * os_factor, mode="same")
+        sig = shaped[::os_factor].astype(np.complex128)
+        n = np.arange(len(sig))
+        sig = sig * np.exp(1j * (2 * np.pi * 1e-4 * n + 0.4)) * 0.3
+        sig += (rng.normal(size=len(sig)) + 1j * rng.normal(size=len(sig))) * 0.01
+        sig = sig.astype(np.complex64)
+
+        C, T = 2, 1 << 16
+        demod = ChannelDemodulator(cfg, channels=C, block_len=T)
+        state = demod.init_state()
+        dec = StreamDecoder(DecoderConfig(mode="lrit", frames_per_block=2))
+        got = []
+        for b in range(len(sig) // T):
+            x = self._batch(sig[b * T : (b + 1) * T], C)
+            soft, valid, state = demod.process(x, state)
+            s0 = np.asarray(soft[0])[np.asarray(valid[0])]
+            for batch in dec.push(s0):
+                ok = np.asarray(batch.frame_ok)
+                got.extend(np.asarray(batch.vcdu)[ok])
+        for batch in dec.flush():
+            ok = np.asarray(batch.frame_ok)
+            got.extend(np.asarray(batch.vcdu)[ok])
+
+        # allow acquisition transient to lose leading frames; all decoded
+        # frames must be bit-exact copies of transmitted VCDUs
+        assert len(got) >= nframes - 2
+        sent = {bytes(v) for v in vcdus}
+        for v in got:
+            assert bytes(v) in sent

@@ -50,23 +50,35 @@ class DemodConfig:
     clock_alpha: float = C.CLOCK_ALPHA
     clock_mu: float = C.CLOCK_MU
     clock_omega_limit: float = C.CLOCK_OMEGA_LIMIT
+    # Batch-path clock kernel: 0 = exact per-symbol GR recursion; K > 0 =
+    # block-update variant (K-symbol frozen-clock parallel interpolation,
+    # ops/clock_recovery.py::clock_recovery_block_update_batch).  Symbol
+    # outputs differ from exact by sub-1% timing jitter; post-FEC frames
+    # are bit-identical (tests/test_demod_chain.py).
+    clock_block_update: int = 0
 
     @classmethod
-    def lrit(cls, sample_rate: int = 1_250_000, decimation: int = 1) -> "DemodConfig":
+    def lrit(
+        cls, sample_rate: int = 1_250_000, decimation: int = 1, **kw
+    ) -> "DemodConfig":
         return cls(
             symbol_rate=C.LRIT_SYMBOL_RATE,
             rrc_alpha=C.LRIT_RRC_ALPHA,
             sample_rate=sample_rate,
             decimation=decimation,
+            **kw,
         )
 
     @classmethod
-    def hrit(cls, sample_rate: int = 3_000_000, decimation: int = 1) -> "DemodConfig":
+    def hrit(
+        cls, sample_rate: int = 3_000_000, decimation: int = 1, **kw
+    ) -> "DemodConfig":
         return cls(
             symbol_rate=C.HRIT_SYMBOL_RATE,
             rrc_alpha=C.HRIT_RRC_ALPHA,
             sample_rate=sample_rate,
             decimation=decimation,
+            **kw,
         )
 
     @property
@@ -202,9 +214,15 @@ class Demodulator:
         x, agc_gain = agc_op.agc_block(x, state.agc_gain, self._agc)
         x, rrc_hist = fir.fir_block(x, self._rrc_taps, state.rrc_hist)
         x, costas_state = costas_op.costas_block(x, state.costas, self._costas)
-        syms, valid, clock_state = cr_op.clock_recovery_block_batch(
-            x, state.clock, self._clock, self.num_slots
-        )
+        if cfg.clock_block_update:
+            syms, valid, clock_state = cr_op.clock_recovery_block_update_batch(
+                x, state.clock, self._clock, self.num_slots,
+                chunk=cfg.clock_block_update,
+            )
+        else:
+            syms, valid, clock_state = cr_op.clock_recovery_block_batch(
+                x, state.clock, self._clock, self.num_slots
+            )
         soft = syms.re
         new_state = DemodState(
             dec_hist=dec_hist,
