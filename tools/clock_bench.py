@@ -52,14 +52,24 @@ def main():
     def sync(arr):
         return float(np.asarray(arr).ravel()[0])
 
-    def timeit(name, fn, *args, iters=5):
+    def timeit(name, fn, *args, iters=5, feedback=None):
+        # `feedback(out, args) -> args` threads outputs back in (the carry
+        # state): feeding the initial broadcast_to (stride-0) state every
+        # call measures a pathological relayout path ~50x slower than the
+        # production chain, which only ever uses it once.
         t0 = time.perf_counter()
         out = fn(*args)
         first = jax.tree.leaves(out)[0]
         sync(first)
         compile_s = time.perf_counter() - t0
+        if feedback is not None:
+            args = feedback(out, args)
+            out = fn(*args)
+            sync(jax.tree.leaves(out)[0])
         times = []
         for _ in range(iters):
+            if feedback is not None:
+                args = feedback(out, args)
             t0 = time.perf_counter()
             out = fn(*args)
             sync(jax.tree.leaves(out)[0])
@@ -76,7 +86,53 @@ def main():
     which = sys.argv[1:] or ["gather", "exact", "k16x32", "k32x32"]
 
     for w in which:
-        if w == "gather":
+        if w in ("gather_ta", "gather_taT"):
+            # take_along_axis formulations of the same staging gather.
+            om = params.omega
+            cols = 512
+            SW = 2304
+            n_super = -(-ns // cols)
+            pad = jnp.zeros((C, SW), jnp.float32)
+            xr_p = jnp.concatenate([x.re, pad], axis=-1)
+            xi_p = jnp.concatenate([x.im, pad], axis=-1)
+            if w == "gather_ta":
+
+                @jax.jit
+                def g(xr_p, xi_p, base0):
+                    iota = jnp.arange(SW, dtype=jnp.int32)
+
+                    def step(base, _):
+                        idx = base[:, None] + iota[None, :]
+                        wr = jnp.take_along_axis(xr_p, idx, axis=1).T
+                        wi = jnp.take_along_axis(xi_p, idx, axis=1).T
+                        s = jnp.sum(wr) + jnp.sum(wi)
+                        return base + jnp.int32(math.floor(cols * om)), s
+
+                    _, ss = jax.lax.scan(step, base0, None, length=n_super)
+                    return ss
+
+            else:
+                xr_pT = xr_p.T.copy()   # (Tn, C) channels-last
+                xi_pT = xi_p.T.copy()
+
+                @jax.jit
+                def g(xr_pT, xi_pT, base0):
+                    iota = jnp.arange(SW, dtype=jnp.int32)
+
+                    def step(base, _):
+                        idx = base[None, :] + iota[:, None]     # (SW, C)
+                        wr = jnp.take_along_axis(xr_pT, idx, axis=0)
+                        wi = jnp.take_along_axis(xi_pT, idx, axis=0)
+                        s = jnp.sum(wr) + jnp.sum(wi)
+                        return base + jnp.int32(math.floor(cols * om)), s
+
+                    _, ss = jax.lax.scan(step, base0, None, length=n_super)
+                    return ss
+
+                xr_p, xi_p = xr_pT, xi_pT
+            base0 = jnp.zeros((C,), jnp.int32)
+            timeit(f"{w} x{n_super} (SW={SW})", g, xr_p, xi_p, base0)
+        elif w == "gather":
             # The per-super-chunk staging gather in isolation, issued the
             # same number of times as the kernel would per block.
             om = params.omega
@@ -109,7 +165,10 @@ def main():
             fn = jax.jit(
                 lambda x, st: cr.clock_recovery_block_batch(x, st, params, ns)
             )
-            timeit("exact chunk=16 super=32", fn, x, state)
+            timeit(
+                "exact chunk=16 super=32", fn, x, state,
+                feedback=lambda out, a: (a[0], out[2]),
+            )
         elif w.startswith("k"):
             ck, sc = w[1:].split("x")
             ck, sc = int(ck), int(sc)
@@ -118,7 +177,10 @@ def main():
                     x, st, params, ns, chunk=ck, superchunks=sc
                 )
             )
-            timeit(f"block-update chunk={ck} super={sc}", fn, x, state)
+            timeit(
+                f"block-update chunk={ck} super={sc}", fn, x, state,
+                feedback=lambda out, a: (a[0], out[2]),
+            )
         else:
             print(f"unknown spec {w}", file=sys.stderr)
 

@@ -245,6 +245,45 @@ def clock_recovery_block(
     return CF32(sr, si), valid, new_state
 
 
+def _spread_bound(params: ClockRecoveryParams, num_slots: int) -> int:
+    """Static bound on max |ii_c - ii_c'| across channels within a block.
+
+    Each symbol advances a channel's clock by omega (hard-limited to
+    omega_mid*(1 +- lim)) plus a mu nudge bounded by gain_mu*|e|<=gain_mu,
+    so two channels diverge at most 2*(omega_mid*lim + gain_mu) samples per
+    symbol.  Block starts are near-aligned (every channel consumes until
+    ii >= limit, leaving ii - n in [-(omega_max + taps), 0))."""
+    rate = 2.0 * (params.omega * params.omega_relative_limit + params.gain_mu)
+    return int(math.ceil(num_slots * rate)) + 48
+
+
+def _stage_super_window(xr_p, xi_p, base, SW: int, spread: int):
+    """Per-channel windows `win[s, c] = x[c, base_c + s]`, gather-free.
+
+    The direct form (vmap'd per-channel `dynamic_slice`) lowers to an XLA
+    gather that serializes channel rows — measured 136 ms/block at C=512,
+    ~2/3 of the whole clock stage.  Instead: ONE shared-base slice (scalar
+    offset — cheap) over the drift envelope, then a *barrel shifter*: for
+    each bit b of the per-channel residual r_c = base_c - min(base), shift
+    the whole buffer up by 2^b lanes and per-channel select.  log2(spread)
+    dense select passes replace the serialized gather; window contents are
+    bit-identical.  `xr_p`/`xi_p` must be padded by at least SW + spread.
+    """
+    C = xr_p.shape[0]
+    shared = jnp.min(base)
+    r = jnp.clip(base - shared, 0, spread)
+    SWE = SW + spread
+    er = jax.lax.dynamic_slice(xr_p, (jnp.int32(0), shared), (C, SWE)).T
+    ei = jax.lax.dynamic_slice(xi_p, (jnp.int32(0), shared), (C, SWE)).T
+    for b in range(max(1, spread.bit_length())):
+        sh = 1 << b
+        bit = ((r >> b) & 1).astype(bool)[None, :]
+        zr = jnp.zeros((sh, C), er.dtype)
+        er = jnp.where(bit, jnp.concatenate([er[sh:], zr]), er)
+        ei = jnp.where(bit, jnp.concatenate([ei[sh:], zr]), ei)
+    return er[:SW], ei[:SW]
+
+
 def clock_recovery_block_batch(
     x: CF32,
     state: ClockRecoveryState,
@@ -253,6 +292,7 @@ def clock_recovery_block_batch(
     chunk: int = 16,
     superchunks: int = 32,
     unroll: int = 4,
+    staging: str = "barrel",
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Batch-native variant: `(C, T)` input, `(C,)`-leading state pytree.
 
@@ -298,7 +338,8 @@ def clock_recovery_block_batch(
 
     # Pad so super windows never clip (padded samples die by the ii<limit
     # mask; base = ii then never needs clamping, keeping il in range).
-    pad = jnp.zeros((C, SW), jnp.float32)
+    spread = _spread_bound(params, num_slots) if staging == "barrel" else 0
+    pad = jnp.zeros((C, SW + spread), jnp.float32)
     xr_p = jnp.concatenate([xr, pad], axis=-1)
     xi_p = jnp.concatenate([xi, pad], axis=-1)
 
@@ -363,13 +404,16 @@ def clock_recovery_block_batch(
     def super_step(carry, _):
         mu, omega, ii, pr, pi, cr, ci = carry
         base = ii                                           # (C,), no clip
-        # One serialized-row gather per super-chunk, channels-last.
-        win_r = jax.vmap(
-            lambda row, b: jax.lax.dynamic_slice(row, (b,), (SW,))
-        )(xr_p, base).T                                     # (SW, C)
-        win_i = jax.vmap(
-            lambda row, b: jax.lax.dynamic_slice(row, (b,), (SW,))
-        )(xi_p, base).T
+        if staging == "barrel":
+            win_r, win_i = _stage_super_window(xr_p, xi_p, base, SW, spread)
+        else:
+            # Per-channel gather (serialized rows — kept for A/B).
+            win_r = jax.vmap(
+                lambda row, b: jax.lax.dynamic_slice(row, (b,), (SW,))
+            )(xr_p, base).T                                 # (SW, C)
+            win_i = jax.vmap(
+                lambda row, b: jax.lax.dynamic_slice(row, (b,), (SW,))
+            )(xi_p, base).T
         st = (mu, omega, ii, pr, pi, cr, ci)
         outs = []
         for m in range(superchunks):
@@ -419,6 +463,7 @@ def clock_recovery_block_update_batch(
     num_slots: int,
     chunk: int = 16,
     superchunks: int = 32,
+    staging: str = "barrel",
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Block-update M&M: K-symbol parallel interpolation (throughput variant).
 
@@ -472,7 +517,8 @@ def clock_recovery_block_update_batch(
     cols = superchunks * chunk
     n_super = -(-num_slots // cols)
 
-    pad = jnp.zeros((C, SW), jnp.float32)
+    spread = _spread_bound(params, num_slots) if staging == "barrel" else 0
+    pad = jnp.zeros((C, SW + spread), jnp.float32)
     xr_p = jnp.concatenate([xr, pad], axis=-1)
     xi_p = jnp.concatenate([xi, pad], axis=-1)
 
@@ -547,12 +593,15 @@ def clock_recovery_block_update_batch(
     def super_step(carry, _):
         mu, omega, ii, pr, pi, cr, ci = carry
         base = ii                                                 # (C,)
-        win_r = jax.vmap(
-            lambda row, b: jax.lax.dynamic_slice(row, (b,), (SW,))
-        )(xr_p, base).T                                           # (SW, C)
-        win_i = jax.vmap(
-            lambda row, b: jax.lax.dynamic_slice(row, (b,), (SW,))
-        )(xi_p, base).T
+        if staging == "barrel":
+            win_r, win_i = _stage_super_window(xr_p, xi_p, base, SW, spread)
+        else:
+            win_r = jax.vmap(
+                lambda row, b: jax.lax.dynamic_slice(row, (b,), (SW,))
+            )(xr_p, base).T                                       # (SW, C)
+            win_i = jax.vmap(
+                lambda row, b: jax.lax.dynamic_slice(row, (b,), (SW,))
+            )(xi_p, base).T
 
         # Chunks as a scan over window offsets (one traced chunk body
         # instead of `superchunks` unrolled copies — compile-time matters:
