@@ -59,11 +59,14 @@ def bench_demod(mode: str):
     else:
         cfg = DemodConfig.lrit(sample_rate=LRIT_RATE)
         baseline_msps = LRIT_RATE / 1e6
+    import dataclasses
+
     K = int(os.environ.get("BENCH_CLOCK_UPDATE", "-1"))
     if K >= 0:
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, clock_block_update=K)
+    ck = os.environ.get("BENCH_CLOCK_KERNEL")
+    if ck:
+        cfg = dataclasses.replace(cfg, clock_kernel=ck)
     demod = ChannelDemodulator(cfg, channels=C, block_len=T)
 
     rng = np.random.default_rng(0)

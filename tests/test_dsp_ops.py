@@ -245,3 +245,58 @@ class TestClockRecovery:
         )(batch, init)
         assert syms.re.shape == (3, nslots)
         np.testing.assert_allclose(np.asarray(syms.re[0]), np.asarray(syms.re[2]))
+
+
+class TestClockPallas:
+    def test_pallas_matches_exact_interpret(self, rng):
+        """The Pallas kernel (interpret mode) reproduces the exact XLA
+        kernel's clock trajectory and symbols (tiny config — interpret
+        executes op-by-op)."""
+        import jax
+
+        from xritdemod_tpu.models.demodulator import DemodConfig
+        from xritdemod_tpu.ops import clock_recovery as cr
+        from xritdemod_tpu.ops.clock_pallas import (
+            clock_recovery_block_pallas_batch,
+        )
+        from xritdemod_tpu.utils.cplx import CF32
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        T, C = 1 << 10, 128
+        t = np.arange(T)
+        sig = (
+            np.cos(2 * np.pi * 0.117 * t) * 0.4
+            + rng.normal(0, 0.05, T)
+            + 1j * rng.normal(0, 0.05, T)
+        ).astype(np.complex64)
+        x = CF32(
+            jnp.asarray(np.tile(sig.real, (C, 1)).astype(np.float32)),
+            jnp.asarray(np.tile(sig.imag, (C, 1)).astype(np.float32)),
+        )
+        params = cr.ClockRecoveryParams(
+            cfg.sps,
+            cfg.clock_alpha**2 / 4,
+            cfg.clock_alpha,
+            cfg.clock_omega_limit,
+        )
+        ns = cr.max_symbols(T, params)
+        st = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (C,) + a.shape),
+            cr.clock_recovery_init(params, cfg.clock_mu),
+        )
+        s_ex, v_ex, st_ex = cr.clock_recovery_block_batch(
+            x, st, params, ns, chunk=4, superchunks=2
+        )
+        s_pl, v_pl, st_pl = clock_recovery_block_pallas_batch(
+            x, st, params, ns, chunk=4, superchunks=2, ct=128, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(v_ex), np.asarray(v_pl))
+        np.testing.assert_array_equal(
+            np.asarray(st_ex.ii), np.asarray(st_pl.ii)
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_ex.mu), np.asarray(st_pl.mu), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ex.re), np.asarray(s_pl.re), atol=1e-6
+        )

@@ -50,7 +50,10 @@ def main():
     )
 
     def sync(arr):
-        return float(np.asarray(arr).ravel()[0])
+        # Index ONE element before np.asarray: converting the whole array
+        # pulls it through the device tunnel (~20 s for a 60 MB output) and
+        # poisons the timing (see .claude/skills/verify).
+        return float(np.asarray(arr[(0,) * arr.ndim]))
 
     def timeit(name, fn, *args, iters=5, feedback=None):
         # `feedback(out, args) -> args` threads outputs back in (the carry
@@ -167,6 +170,18 @@ def main():
             )
             timeit(
                 "exact chunk=16 super=32", fn, x, state,
+                feedback=lambda out, a: (a[0], out[2]),
+            )
+        elif w == "pallas":
+            from xritdemod_tpu.ops.clock_pallas import (
+                clock_recovery_block_pallas_batch,
+            )
+
+            fn = lambda x, st: clock_recovery_block_pallas_batch(
+                x, st, params, ns
+            )
+            timeit(
+                "pallas exact 16x32", fn, x, state,
                 feedback=lambda out, a: (a[0], out[2]),
             )
         elif w.startswith("k"):

@@ -56,6 +56,11 @@ class DemodConfig:
     # outputs differ from exact by sub-1% timing jitter; post-FEC frames
     # are bit-identical (tests/test_demod_chain.py).
     clock_block_update: int = 0
+    # Batch-path clock kernel choice: "auto" (default) picks the Pallas
+    # kernel (ops/clock_pallas.py — the exact recursion fused on-chip, ~5x
+    # the XLA form) whenever running on TPU with channels a multiple of its
+    # 128-lane tile, else the XLA kernel; "pallas"/"xla" force either.
+    clock_kernel: str = "auto"
 
     @classmethod
     def lrit(
@@ -214,7 +219,21 @@ class Demodulator:
         x, agc_gain = agc_op.agc_block(x, state.agc_gain, self._agc)
         x, rrc_hist = fir.fir_block(x, self._rrc_taps, state.rrc_hist)
         x, costas_state = costas_op.costas_block(x, state.costas, self._costas)
-        if cfg.clock_block_update:
+        use_pallas = cfg.clock_kernel == "pallas" or (
+            cfg.clock_kernel == "auto"
+            and not cfg.clock_block_update
+            and jax.default_backend() == "tpu"
+            and x.re.shape[0] % 128 == 0
+        )
+        if use_pallas:
+            from xritdemod_tpu.ops.clock_pallas import (
+                clock_recovery_block_pallas_batch,
+            )
+
+            syms, valid, clock_state = clock_recovery_block_pallas_batch(
+                x, state.clock, self._clock, self.num_slots
+            )
+        elif cfg.clock_block_update:
             syms, valid, clock_state = cr_op.clock_recovery_block_update_batch(
                 x, state.clock, self._clock, self.num_slots,
                 chunk=cfg.clock_block_update,

@@ -1,46 +1,34 @@
 """Pallas TPU kernel for batched M&M clock recovery (the flagship kernel).
 
-Same math as `clock_recovery.clock_recovery_block_batch` (GNU Radio
-`clock_recovery_mm_cc` semantics — see ops/clock_recovery.py for the
-recurrence and the reference citations), fused into a single Mosaic kernel:
+Exact GNU Radio `clock_recovery_mm_cc` semantics — the same per-symbol
+recurrence, tap formula, and state carry as `clock_recovery.
+clock_recovery_block_batch` (see that module for the recurrence and the
+reference citations at /root/reference/demodulator/src/demodulator.cpp:449).
 
-  - XLA's lowering of the dense inner step materializes ~10 (S, C)
-    intermediates per symbol through HBM (~20 us/symbol); here the whole
-    tap-evaluate/accumulate/update step runs in registers over a
-    VMEM-resident window.
-  - Input windows stage through VMEM in *super-chunks*: every
-    SUPER x CHUNK symbols, one DMA per channel pulls that channel's next
-    ~2.2k samples, aligned to the channel's own clock position
-    (per-channel clocks drift apart, so a shared window would need the
-    whole drift envelope).  Within a super-chunk, every 64-symbol chunk
-    window is a *static, 128-aligned* slice of the aligned buffer — the
-    per-channel dynamic addressing that poisons the XLA path (serialized
-    row gathers) never appears.
-  - The symbol loop is Python-unrolled so every output store has a static
-    index (Mosaic requires lane-dimension offsets provably 128-aligned);
-    outputs accumulate as (symbols, channels) rows and are transposed once
-    outside the kernel.
-  - The input is zero-padded by one super-window so buffers never clip at
-    the block end (padded samples are dead by the `ii < limit` mask).
+Why a kernel: the XLA form runs one dense (S, C) masked tap evaluation per
+symbol inside a scan, and XLA stages the intermediates through HBM — the
+clock stage measures ~280 ms/block at C=512 (9 us/symbol) while the pure
+VPU cost of the math is ~1 us/symbol.  Here the whole super-chunk pipeline
+runs on-chip:
 
-STATUS: experimental, not on the default path. The same super-chunk
-structure implemented in pure XLA (`clock_recovery_block_batch`) reached
-~400 ms/block once the per-chunk row gathers were amortized, and Mosaic's
-tiling rules make the remaining gap expensive to close here:
+  1. *Channels-last staging*: the input lives as `(T, C)` in HBM, so each
+     super-chunk window is ONE shared-base DMA `(SWE, CT)` with a
+     sublane-aligned dynamic offset — no per-channel gather, no row
+     serialization.  (The previous attempt used per-channel `(1, SW)` DMAs
+     from a `(C, T)` layout, which Mosaic rejects: slice shapes must be
+     tile-aligned.)
+  2. *In-VMEM barrel alignment*: each channel's clock position differs from
+     the shared base by r_c <= spread (statically bounded — omega is
+     hard-limited to +-0.5% and mu nudges to gain_mu); log2(spread) in-place
+     shift+select stages align every channel's window to its own base.
+  3. *Register-resident symbol loop*: per symbol, the dense masked 8-tap
+     interpolation over the `(S8, CT)` window and the full M&M loop-filter
+     update run unrolled in registers — sequential per-symbol updates cost
+     nothing here, so no block-update approximation is needed.
 
-  - lane-dim (last dim) slice offsets must be statically provable
-    multiples of 128 — hence the Python-unrolled symbol loop and the
-    (symbols, channels) output layout;
-  - DMA slice *shapes* must be tile-aligned: a single-row `(1, SW)` slice
-    of a `(C, SW)` HBM array is rejected ("must be aligned to tiling
-    (8)"), so per-channel window DMAs need either a flat 1-D layout with
-    value-level reshapes or `(C, SW/128, 128)` 3-D staging with
-    sublane-multiple window sizes (1024-sample granularity), which inflates
-    the dense tap window ~2x.
-
-Revisit with a (C/8, 8, SW) staging layout or an mm_block-style
-multi-symbol step if the XLA path's ~6.5 us/symbol needs to shrink
-further. Falls back to the lax implementation via `interpret=True`.
+Outputs are `(rows, C)` symbol planes DMA'd out per super-chunk and
+transposed once outside.  Equals the XLA kernel to float reduction order
+(same taps and trajectory; tree-sum order over the padded window differs).
 """
 
 from __future__ import annotations
@@ -59,118 +47,143 @@ from xritdemod_tpu.ops.clock_recovery import (
     NTAIL,
     ClockRecoveryParams,
     ClockRecoveryState,
+    _spread_bound,
 )
 from xritdemod_tpu.utils.cplx import CF32
 
-__all__ = ["clock_recovery_block_pallas"]
-
-CHUNK = 64          # symbols per chunk (static window per chunk)
-SUPER = 8           # chunks per super-chunk (DMA granularity)
-_S = 512            # chunk window lanes (multiple of 128)
-_PAD = 8
+__all__ = ["clock_recovery_block_pallas_batch"]
 
 
-def _geometry(params: ClockRecoveryParams):
-    om, lim, gm = params.omega, params.omega_relative_limit, params.gain_mu
-    om_max = om * (1 + lim) + gm
-    dmax = math.ceil(SUPER * CHUNK * (om * lim + gm)) + _PAD
-    w0 = []
-    for m in range(SUPER):
-        lo = math.floor(m * CHUNK * om) - dmax
-        start = max(0, (lo // 128) * 128)
-        w0.append(start)
-        # the 512-lane window must cover this chunk's worst-case span
-        need = math.floor(m * CHUNK * om) + dmax + CHUNK * om_max + INTERP_TAPS
-        assert start + _S >= need, (m, start, need)
-    SW = w0[-1] + _S
-    SW = -(-SW // 128) * 128
-    return tuple(w0), SW
+def _r8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+def _geometry(params: ClockRecoveryParams, chunk: int, superchunks: int,
+              num_slots: int):
+    om = params.omega
+    lim = params.omega_relative_limit
+    gm = params.gain_mu
+    # Per-symbol advance floor(mu + omega + gain_mu*e) takes exactly two
+    # values {a0, a0+1}: omega is hard-limited to om*(1 +- lim), |e| <= 1.
+    a0 = math.floor(om * (1.0 - lim) - gm)
+    assert om * (1.0 + lim) + gm + 1.0 < a0 + 2, "advance spans >2 values"
+    dmax = math.ceil(superchunks * chunk * (om * lim + gm)) + 8
+    w08 = []
+    for m in range(superchunks):
+        w = max(0, math.floor(m * chunk * om) - dmax)
+        w08.append((w // 8) * 8)               # sublane-aligned chunk offsets
+    # Chunk window: starts within RELMAX of w08[m], consumes at most
+    # chunk*(a0+1) rows plus the 8 interpolator taps.
+    RELMAX = _r8(2 * dmax + 16)
+    CW = _r8(chunk * (a0 + 1) + INTERP_TAPS + 8)
+    SL = RELMAX + CW
+    SW8 = _r8(w08[-1] + SL)
+    spread = _spread_bound(params, num_slots)
+    SWE8 = _r8(SW8 + spread + 8)
+    return tuple(w08), a0, RELMAX, CW, SL, SW8, spread, SWE8
 
 
 def _mm_kernel(
-    # inputs
+    # inputs (refs)
     xr_hbm, xi_hbm, mu_ref, om_ref, ii_ref, pr_ref, pi_ref, cr_ref, ci_ref,
     # outputs
     sr_hbm, si_hbm, vd_hbm, mu_o, om_o, ii_o, pr_o, pi_o, cr_o, ci_o,
     # scratch
-    win_r, win_i, ob_r, ob_i, ob_v, base_vmem, base_smem, in_sem, out_sem,
-    *, C, n_real, num_supers, w0_list, SW, params: ClockRecoveryParams,
+    win_r, win_i, ob_r, ob_i, ob_v, in_sem, out_sem,
+    *, CT, num_supers, chunk, superchunks, w08, a0, RELMAX, CW, SL, SW8,
+    spread, SWE8, limit, params: ClockRecoveryParams,
 ):
     omega_mid = jnp.float32(params.omega)
     omega_lim = jnp.float32(params.omega * params.omega_relative_limit)
     gain_omega = jnp.float32(params.gain_omega)
     gain_mu = jnp.float32(params.gain_mu)
-    limit = n_real - INTERP_TAPS
-    cols = SUPER * CHUNK
+    cols = superchunks * chunk
+    tile = pl.program_id(0)
+    col0 = pl.multiple_of(tile * CT, 128)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (C, _S), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (INTERP_TAPS, CT), 0)
+    nb = max(1, (spread + 8).bit_length())
+    nb2 = max(1, (RELMAX - 1).bit_length())
     pi_c = jnp.float32(math.pi)
 
     def super_body(s, carry):
-        (mu, om, ii, pr0, pr1, pr2, pi0, pi1, pi2,
-         cr0, cr1, cr2, ci0, ci1, ci2) = carry
-        base = ii  # (C,) i32; input is padded so no end-of-block clipping
+        (mu, om, ii, p1r, p2r, p3r, p1i, p2i, p3i,
+         c1r, c2r, c3r, c1i, c2i, c3i) = carry          # each (CT,) f32/i32
+        base = ii                                        # (1, CT) i32
+        shared = jnp.min(base)
+        sh8 = pl.multiple_of((shared // 8) * 8, 8)
 
-        # Per-channel bases must be read as scalars for DMA addressing:
-        # vector -> VMEM scratch -> SMEM copy -> scalar reads.
-        base_vmem[:] = base
-        cp = pltpu.make_async_copy(base_vmem, base_smem, in_sem)
-        cp.start()
-        cp.wait()
+        cp_r = pltpu.make_async_copy(
+            xr_hbm.at[pl.ds(sh8, SWE8), pl.ds(col0, CT)], win_r, in_sem
+        )
+        cp_i = pltpu.make_async_copy(
+            xi_hbm.at[pl.ds(sh8, SWE8), pl.ds(col0, CT)], win_i, in_sem
+        )
+        cp_r.start()
+        cp_i.start()
+        cp_r.wait()
+        cp_i.wait()
 
-        def issue(c, _):
-            b = base_smem[c]
-            pltpu.make_async_copy(
-                xr_hbm.at[c, pl.ds(b, SW)], win_r.at[c], in_sem
-            ).start()
-            pltpu.make_async_copy(
-                xi_hbm.at[c, pl.ds(b, SW)], win_i.at[c], in_sem
-            ).start()
-            return 0
+        # Barrel alignment: window row 0 becomes x[base_c] for every c.
+        r = base - sh8                                   # (1, CT) in [0, spread+8]
+        for b in range(nb):
+            sh = 1 << b
+            bit = ((r >> b) & 1) > 0                     # (1, CT)
+            cur_r = win_r[:]
+            cur_i = win_i[:]
+            sh_r = jnp.concatenate(
+                [cur_r[sh:], jnp.zeros((sh, CT), jnp.float32)], axis=0
+            )
+            sh_i = jnp.concatenate(
+                [cur_i[sh:], jnp.zeros((sh, CT), jnp.float32)], axis=0
+            )
+            win_r[:] = jnp.where(bit, sh_r, cur_r)
+            win_i[:] = jnp.where(bit, sh_i, cur_i)
 
-        jax.lax.fori_loop(0, C, issue, 0)
+        state = (mu, om, ii, p1r, p2r, p3r, p1i, p2i, p3i,
+                 c1r, c2r, c3r, c1i, c2i, c3i)
+        for m in range(superchunks):
+            (mu, om, ii, p1r, p2r, p3r, p1i, p2i, p3i,
+             c1r, c2r, c3r, c1i, c2i, c3i) = state
+            # Chunk window: slice at the static aligned offset, then a
+            # second-level mini-barrel by the per-channel residual so that
+            # row 0 = x[ii] exactly.  From here each symbol's interpolation
+            # reads only rows [0, 8) — no dense masked evaluation — and a
+            # two-way shift-select (advance is provably a0 or a0+1)
+            # restores the alignment after every symbol.
+            rel0 = ii - base - w08[m]                    # (1, CT) >= 0
+            cw_r = win_r[pl.ds(w08[m], SL), :]
+            cw_i = win_i[pl.ds(w08[m], SL), :]
+            for b in range(nb2):
+                sh = 1 << b
+                bit = ((rel0 >> b) & 1) > 0
+                zpad = jnp.zeros((sh, CT), jnp.float32)
+                cw_r = jnp.where(
+                    bit, jnp.concatenate([cw_r[sh:], zpad], axis=0), cw_r
+                )
+                cw_i = jnp.where(
+                    bit, jnp.concatenate([cw_i[sh:], zpad], axis=0), cw_i
+                )
+            cw_r = cw_r[:CW]
+            cw_i = cw_i[:CW]
 
-        def drain(c, _):
-            b = base_smem[c]
-            pltpu.make_async_copy(
-                xr_hbm.at[c, pl.ds(b, SW)], win_r.at[c], in_sem
-            ).wait()
-            pltpu.make_async_copy(
-                xi_hbm.at[c, pl.ds(b, SW)], win_i.at[c], in_sem
-            ).wait()
-            return 0
-
-        jax.lax.fori_loop(0, C, drain, 0)
-
-        state = (mu, om, ii, pr0, pr1, pr2, pi0, pi1, pi2,
-                 cr0, cr1, cr2, ci0, ci1, ci2)
-        for m in range(SUPER):
-            w0 = w0_list[m]
-            wr = win_r[:, w0 : w0 + _S]
-            wi = win_i[:, w0 : w0 + _S]
-            for j in range(CHUNK):
-                (mu, om, ii, pr0, pr1, pr2, pi0, pi1, pi2,
-                 cr0, cr1, cr2, ci0, ci1, ci2) = state
-                valid = ii < limit
-                il = jnp.clip(ii - base - w0, 0, _S - INTERP_TAPS)
-
-                offs = lane - il[:, None]
-                in_tap = (offs >= 0) & (offs < INTERP_TAPS)
-                u = offs.astype(jnp.float32) - 3.0 - mu[:, None]
+            for j in range(chunk):
+                valid = ii < limit                       # (1, CT)
+                u = k_iota.astype(jnp.float32) - 3.0 - mu     # (8, CT)
                 wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
                 pu = pi_c * u
                 sinc = jnp.where(u == 0.0, 1.0, jnp.sin(pu) / pu)
-                t = jnp.where(in_tap, sinc * wwin, 0.0)
-                t = t / jnp.sum(t, axis=1, keepdims=True)
-                p0r = jnp.sum(wr * t, axis=1)
-                p0i = jnp.sum(wi * t, axis=1)
+                t = sinc * wwin
+                t = t / jnp.sum(t, axis=0, keepdims=True)
+                p0r = jnp.sum(cw_r[:INTERP_TAPS] * t, axis=0, keepdims=True)
+                p0i = jnp.sum(cw_i[:INTERP_TAPS] * t, axis=0, keepdims=True)
 
                 c0r = jnp.where(p0r > 0, 1.0, 0.0)
                 c0i = jnp.where(p0i > 0, 1.0, 0.0)
                 e = (
-                    (p0r - pr2) * cr1
-                    + (p0i - pi2) * ci1
-                    - ((c0r - cr2) * pr1 + (c0i - ci2) * pi1)
+                    (p0r - p3r) * c2r
+                    + (p0i - p3i) * c2i
+                    - ((c0r - c3r) * p2r + (c0i - c3i) * p2i)
                 )
                 e = jnp.clip(e, -1.0, 1.0)
 
@@ -183,130 +196,190 @@ def _mm_kernel(
                 new_ii = jnp.maximum(ii + adv.astype(jnp.int32), 0)
                 new_mu = new_mu - adv
 
-                col = m * CHUNK + j   # static: loops are Python-unrolled
-                ob_r[col, :] = jnp.where(valid, p0r, 0.0)
-                ob_i[col, :] = jnp.where(valid, p0i, 0.0)
-                ob_v[col, :] = jnp.where(valid, 1.0, 0.0)
+                col = m * chunk + j                      # static row index
+                vf = valid
+                ob_r[col : col + 1, :] = jnp.where(vf, p0r, 0.0)
+                ob_i[col : col + 1, :] = jnp.where(vf, p0i, 0.0)
+                ob_v[col : col + 1, :] = jnp.where(vf, 1.0, 0.0)
 
-                state = (
-                    jnp.where(valid, new_mu, mu),
-                    jnp.where(valid, new_om, om),
-                    jnp.where(valid, new_ii, ii),
-                    jnp.where(valid, p0r, pr0), jnp.where(valid, pr0, pr1),
-                    jnp.where(valid, pr1, pr2),
-                    jnp.where(valid, p0i, pi0), jnp.where(valid, pi0, pi1),
-                    jnp.where(valid, pi1, pi2),
-                    jnp.where(valid, c0r, cr0), jnp.where(valid, cr0, cr1),
-                    jnp.where(valid, cr1, cr2),
-                    jnp.where(valid, c0i, ci0), jnp.where(valid, ci0, ci1),
-                    jnp.where(valid, ci1, ci2),
+                # Keep row 0 = x[ii]: shift by whichever advance happened.
+                # Shifting on invalid (masked) symbols is harmless — all
+                # later symbols in the block are invalid too.
+                hi = (adv.astype(jnp.int32) == a0 + 1)
+                zp = jnp.zeros((a0 + 1, CT), jnp.float32)
+                lo_r = jnp.concatenate([cw_r[a0:], zp[: a0]], axis=0)
+                hi_r = jnp.concatenate([cw_r[a0 + 1 :], zp], axis=0)
+                lo_i = jnp.concatenate([cw_i[a0:], zp[: a0]], axis=0)
+                hi_i = jnp.concatenate([cw_i[a0 + 1 :], zp], axis=0)
+                cw_r = jnp.where(hi, hi_r, lo_r)
+                cw_i = jnp.where(hi, hi_i, lo_i)
+
+                mu = jnp.where(vf, new_mu, mu)
+                om = jnp.where(vf, new_om, om)
+                ii = jnp.where(vf, new_ii, ii)
+                p1r, p2r, p3r = (
+                    jnp.where(vf, p0r, p1r), jnp.where(vf, p1r, p2r),
+                    jnp.where(vf, p2r, p3r),
                 )
+                p1i, p2i, p3i = (
+                    jnp.where(vf, p0i, p1i), jnp.where(vf, p1i, p2i),
+                    jnp.where(vf, p2i, p3i),
+                )
+                c1r, c2r, c3r = (
+                    jnp.where(vf, c0r, c1r), jnp.where(vf, c1r, c2r),
+                    jnp.where(vf, c2r, c3r),
+                )
+                c1i, c2i, c3i = (
+                    jnp.where(vf, c0i, c1i), jnp.where(vf, c1i, c2i),
+                    jnp.where(vf, c2i, c3i),
+                )
+            state = (mu, om, ii, p1r, p2r, p3r, p1i, p2i, p3i,
+                     c1r, c2r, c3r, c1i, c2i, c3i)
 
-        # Flush this super-chunk's symbols ((cols, C) rows).
+        # Flush this super-chunk's symbol rows.
+        row0 = pl.multiple_of(s * cols, 8)
         for ref, hbmref in ((ob_r, sr_hbm), (ob_i, si_hbm), (ob_v, vd_hbm)):
             cp = pltpu.make_async_copy(
-                ref, hbmref.at[pl.ds(s * cols, cols), :], out_sem
+                ref, hbmref.at[pl.ds(row0, cols), pl.ds(col0, CT)], out_sem
             )
             cp.start()
             cp.wait()
         return state
 
+    # All per-channel vectors stay rank-2 (1, CT): Mosaic's layout
+    # inference rejects rank-1 vectors in elementwise joins.
     init = (
-        mu_ref[:], om_ref[:], ii_ref[:],
-        pr_ref[0, :], pr_ref[1, :], pr_ref[2, :],
-        pi_ref[0, :], pi_ref[1, :], pi_ref[2, :],
-        cr_ref[0, :], cr_ref[1, :], cr_ref[2, :],
-        ci_ref[0, :], ci_ref[1, :], ci_ref[2, :],
+        mu_ref[0:1, :], om_ref[0:1, :], ii_ref[0:1, :],
+        pr_ref[0:1, :], pr_ref[1:2, :], pr_ref[2:3, :],
+        pi_ref[0:1, :], pi_ref[1:2, :], pi_ref[2:3, :],
+        cr_ref[0:1, :], cr_ref[1:2, :], cr_ref[2:3, :],
+        ci_ref[0:1, :], ci_ref[1:2, :], ci_ref[2:3, :],
     )
-    (mu, om, ii, pr0, pr1, pr2, pi0, pi1, pi2,
-     cr0, cr1, cr2, ci0, ci1, ci2) = jax.lax.fori_loop(
+    (mu, om, ii, p1r, p2r, p3r, p1i, p2i, p3i,
+     c1r, c2r, c3r, c1i, c2i, c3i) = jax.lax.fori_loop(
         0, num_supers, super_body, init
     )
-    mu_o[:] = mu
-    om_o[:] = om
-    ii_o[:] = ii
-    pr_o[0, :], pr_o[1, :], pr_o[2, :] = pr0, pr1, pr2
-    pi_o[0, :], pi_o[1, :], pi_o[2, :] = pi0, pi1, pi2
-    cr_o[0, :], cr_o[1, :], cr_o[2, :] = cr0, cr1, cr2
-    ci_o[0, :], ci_o[1, :], ci_o[2, :] = ci0, ci1, ci2
+    mu_o[0:1, :] = mu
+    om_o[0:1, :] = om
+    ii_o[0:1, :] = ii
+    for o_ref, (a, b, c) in (
+        (pr_o, (p1r, p2r, p3r)),
+        (pi_o, (p1i, p2i, p3i)),
+        (cr_o, (c1r, c2r, c3r)),
+        (ci_o, (c1i, c2i, c3i)),
+    ):
+        o_ref[0:1, :] = a
+        o_ref[1:2, :] = b
+        o_ref[2:3, :] = c
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "num_slots", "interpret")
+    jax.jit,
+    static_argnames=("params", "num_slots", "chunk", "superchunks", "ct",
+                     "interpret"),
 )
-def clock_recovery_block_pallas(
+def clock_recovery_block_pallas_batch(
     x: CF32,
     state: ClockRecoveryState,
     params: ClockRecoveryParams,
     num_slots: int,
+    chunk: int = 16,
+    superchunks: int = 32,
+    ct: int = 128,
     interpret: bool = False,
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
-    """Pallas path of the batch M&M kernel: `(C, T)` in, `(C,)` state.
+    """Pallas path: drop-in for `clock_recovery_block_batch` (same contract).
 
-    Drop-in for `clock_recovery_block_batch` (same outputs/carry semantics).
+    `(C, T)` CF32 in with `(C,)`-leading state; C must be a multiple of the
+    channel tile `ct` (lane width per grid step).
     """
     C, T = x.re.shape
-    w0_list, SW = _geometry(params)
-    xr = jnp.concatenate([state.tail.re, x.re], axis=-1)
-    xi = jnp.concatenate([state.tail.im, x.im], axis=-1)
-    n_real = xr.shape[-1]
-    # Pad so per-channel super windows never clip at the block end.
-    pad = jnp.zeros((C, SW), jnp.float32)
-    xr_p = jnp.concatenate([xr, pad], axis=-1)
-    xi_p = jnp.concatenate([xi, pad], axis=-1)
-
-    cols = SUPER * CHUNK
+    if C % ct:
+        raise ValueError(f"channels {C} must be a multiple of tile {ct}")
+    w08, a0, RELMAX, CW, SL, SW8, spread, SWE8 = _geometry(
+        params, chunk, superchunks, num_slots
+    )
+    cols = superchunks * chunk
     num_supers = -(-num_slots // cols)
-    out_len = num_supers * cols
+    out_rows = num_supers * cols
+
+    xr = jnp.concatenate([state.tail.re, x.re], axis=-1)   # (C, n)
+    xi = jnp.concatenate([state.tail.im, x.im], axis=-1)
+    n = xr.shape[-1]
+    limit = n - INTERP_TAPS
+    # Channels-last with enough zero rows that any sh8 <= n never clips.
+    pad_rows = SWE8 + 8
+    xr_T = jnp.concatenate(
+        [xr.T, jnp.zeros((pad_rows, C), jnp.float32)], axis=0
+    )
+    xi_T = jnp.concatenate(
+        [xi.T, jnp.zeros((pad_rows, C), jnp.float32)], axis=0
+    )
 
     kernel = functools.partial(
         _mm_kernel,
-        C=C,
-        n_real=n_real,
+        CT=ct,
         num_supers=num_supers,
-        w0_list=w0_list,
-        SW=SW,
+        chunk=chunk,
+        superchunks=superchunks,
+        w08=w08,
+        a0=a0,
+        RELMAX=RELMAX,
+        CW=CW,
+        SL=SL,
+        SW8=SW8,
+        spread=spread,
+        SWE8=SWE8,
+        limit=limit,
         params=params,
     )
     f32 = jnp.float32
-    out_shapes = (
-        jax.ShapeDtypeStruct((out_len, C), f32),   # sr (rows = symbols)
-        jax.ShapeDtypeStruct((out_len, C), f32),   # si
-        jax.ShapeDtypeStruct((out_len, C), f32),   # valid
-        jax.ShapeDtypeStruct((C,), f32),           # mu
-        jax.ShapeDtypeStruct((C,), f32),           # omega
-        jax.ShapeDtypeStruct((C,), jnp.int32),     # ii
-        jax.ShapeDtypeStruct((3, C), f32),         # p re
-        jax.ShapeDtypeStruct((3, C), f32),         # p im
-        jax.ShapeDtypeStruct((3, C), f32),         # c re
-        jax.ShapeDtypeStruct((3, C), f32),         # c im
-    )
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid = (C // ct,)
+    vec = lambda: pl.BlockSpec((1, ct), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    hist = lambda: pl.BlockSpec((3, ct), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     outs = pl.pallas_call(
         kernel,
-        out_shape=out_shapes,
-        in_specs=[hbm, hbm] + [vmem] * 7,
-        out_specs=(hbm, hbm, hbm) + (vmem,) * 7,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((out_rows, C), f32),   # sr (rows=symbols)
+            jax.ShapeDtypeStruct((out_rows, C), f32),   # si
+            jax.ShapeDtypeStruct((out_rows, C), f32),   # valid
+            jax.ShapeDtypeStruct((1, C), f32),          # mu
+            jax.ShapeDtypeStruct((1, C), f32),          # omega
+            jax.ShapeDtypeStruct((1, C), jnp.int32),    # ii
+            jax.ShapeDtypeStruct((3, C), f32),          # p re
+            jax.ShapeDtypeStruct((3, C), f32),          # p im
+            jax.ShapeDtypeStruct((3, C), f32),          # c re
+            jax.ShapeDtypeStruct((3, C), f32),          # c im
+        ),
+        in_specs=[hbm, hbm, vec(), vec(),
+                  pl.BlockSpec((1, ct), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  hist(), hist(), hist(), hist()],
+        out_specs=(hbm, hbm, hbm, vec(), vec(),
+                   pl.BlockSpec((1, ct), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   hist(), hist(), hist(), hist()),
         scratch_shapes=[
-            pltpu.VMEM((C, SW), f32),
-            pltpu.VMEM((C, SW), f32),
-            pltpu.VMEM((cols, C), f32),
-            pltpu.VMEM((cols, C), f32),
-            pltpu.VMEM((cols, C), f32),
-            pltpu.VMEM((C,), jnp.int32),
-            pltpu.SMEM((C,), jnp.int32),
+            pltpu.VMEM((SWE8, ct), f32),
+            pltpu.VMEM((SWE8, ct), f32),
+            pltpu.VMEM((cols, ct), f32),
+            pltpu.VMEM((cols, ct), f32),
+            pltpu.VMEM((cols, ct), f32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        xr_p,
-        xi_p,
-        state.mu,
-        state.omega,
-        state.ii,
+        xr_T,
+        xi_T,
+        state.mu[None, :],
+        state.omega[None, :],
+        state.ii[None, :],
         jnp.swapaxes(state.p.re, 0, 1),
         jnp.swapaxes(state.p.im, 0, 1),
         jnp.swapaxes(state.c.re, 0, 1),
@@ -317,11 +390,11 @@ def clock_recovery_block_pallas(
     si = si.T[:, :num_slots]
     valid = vd.T[:, :num_slots] > 0.5
     new_state = ClockRecoveryState(
-        mu=mu,
-        omega=om,
-        ii=ii - (n_real - NTAIL),
+        mu=mu[0],
+        omega=om[0],
+        ii=ii[0] - (n - NTAIL),
         p=CF32(jnp.swapaxes(pr, 0, 1), jnp.swapaxes(pim, 0, 1)),
         c=CF32(jnp.swapaxes(cre, 0, 1), jnp.swapaxes(cim, 0, 1)),
-        tail=CF32(xr[:, -NTAIL:], xi[:, -NTAIL:]),
+    tail=CF32(xr[:, -NTAIL:], xi[:, -NTAIL:]),
     )
     return CF32(sr, si), valid, new_state

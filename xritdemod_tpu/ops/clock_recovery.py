@@ -550,37 +550,71 @@ def clock_recovery_block_update_batch(
         c0r = jnp.where(p0r > 0, 1.0, 0.0)
         c0i = jnp.where(p0i > 0, 1.0, 0.0)
 
-        # Exact per-symbol loop-filter recursion over cheap (C,) vectors.
-        def fold(carry, xs):
-            fmu, fom, fii, gr, gi, hr, hi = carry
-            q0r, q0i, d0r, d0i, v = xs
-            e = (
-                (q0r - gr[2]) * hr[1]
-                + (q0i - gi[2]) * hi[1]
-                - ((d0r - hr[2]) * gr[1] + (d0i - hi[2]) * gi[1])
+        # Parallel loop-filter update.  A per-symbol fold here costs one
+        # tiny scan step per symbol (~5 us of fixed overhead each — it was
+        # the residual bottleneck).  But the M&M error only depends on the
+        # interpolated symbol sequence, which is already parallel: extend
+        # it with the 3-deep carry-in history and compute every e_j at
+        # once; then omega is a clamped cumulative sum of the clipped
+        # errors and the chunk advance a masked sum.  vs the serial fold,
+        # the only changes are the omega clamp applied to the cumsum
+        # rather than per step (differs only if the trajectory exits and
+        # re-enters the limit within one chunk) and interpolation
+        # positions already frozen above.  K=1 remains bit-identical.
+        K = chunk
+        Ar = jnp.concatenate([pr[::-1], p0r])                     # (K+3, C)
+        Ai = jnp.concatenate([pi[::-1], p0i])
+        Br = jnp.concatenate([cr[::-1], c0r])
+        Bi = jnp.concatenate([ci[::-1], c0i])
+        e = (
+            (p0r - Ar[:K]) * Br[1 : K + 1]
+            + (p0i - Ai[:K]) * Bi[1 : K + 1]
+            - (
+                (c0r - Br[:K]) * Ar[1 : K + 1]
+                + (c0i - Bi[:K]) * Ai[1 : K + 1]
             )
-            e = jnp.clip(e, -1.0, 1.0)
-            new_om = fom + gain_omega * e
-            new_om = omega_mid + jnp.clip(new_om - omega_mid, -omega_lim, omega_lim)
-            new_mu = fmu + new_om + gain_mu * e
-            adv = jnp.floor(new_mu)
-            new_ii = jnp.maximum(fii + adv.astype(jnp.int32), 0)
-            new_mu = new_mu - adv
-            carry = (
-                jnp.where(v, new_mu, fmu),
-                jnp.where(v, new_om, fom),
-                jnp.where(v, new_ii, fii),
-                jnp.where(v[None, :], jnp.stack([q0r, gr[0], gr[1]]), gr),
-                jnp.where(v[None, :], jnp.stack([q0i, gi[0], gi[1]]), gi),
-                jnp.where(v[None, :], jnp.stack([d0r, hr[0], hr[1]]), hr),
-                jnp.where(v[None, :], jnp.stack([d0i, hi[0], hi[1]]), hi),
-            )
-            return carry, None
-
-        (mu, omega, ii, pr, pi, cr, ci), _ = jax.lax.scan(
-            fold, (mu, omega, ii, pr, pi, cr, ci),
-            (p0r, p0i, c0r, c0i, valid),
         )
+        e = jnp.where(valid, jnp.clip(e, -1.0, 1.0), 0.0)         # (K, C)
+
+        dom = jnp.clip(
+            (omega - omega_mid)[None, :] + gain_omega * jnp.cumsum(e, axis=0),
+            -omega_lim,
+            omega_lim,
+        )
+        om_j = omega_mid + dom                                    # (K, C)
+        adv = jnp.sum(
+            jnp.where(valid, om_j + gain_mu * e, 0.0), axis=0
+        )
+        pos_end = mu + adv                                        # (C,)
+        ifloor = jnp.floor(pos_end)
+        mu = pos_end - ifloor
+        ii = ii + ifloor.astype(jnp.int32)
+        nvalid = jnp.sum(valid.astype(jnp.int32), axis=0)         # (C,)
+        omega = jnp.where(nvalid > 0, om_j[-1], omega)
+        # omega after the last *valid* symbol (valid is monotone in j):
+        omega = jnp.where(
+            (nvalid > 0) & (nvalid < K),
+            jnp.sum(
+                jnp.where(
+                    jnp.arange(K, dtype=jnp.int32)[:, None] == nvalid[None, :] - 1,
+                    om_j,
+                    0.0,
+                ),
+                axis=0,
+            ),
+            omega,
+        )
+        # History = samples/slicers at positions (last-valid - k), k=0..2;
+        # the extended arrays make carry-in fall out naturally.
+        j_io = jnp.arange(K + 3, dtype=jnp.int32)[:, None]        # (K+3, 1)
+        sel = lambda E, d: jnp.sum(
+            jnp.where(j_io == nvalid[None, :] + 2 - d, E, 0.0), axis=0
+        )
+        pr = jnp.stack([sel(Ar, 0), sel(Ar, 1), sel(Ar, 2)])
+        pi = jnp.stack([sel(Ai, 0), sel(Ai, 1), sel(Ai, 2)])
+        cr = jnp.stack([sel(Br, 0), sel(Br, 1), sel(Br, 2)])
+        ci = jnp.stack([sel(Bi, 0), sel(Bi, 1), sel(Bi, 2)])
+
         out = (
             jnp.where(valid, p0r, 0.0),
             jnp.where(valid, p0i, 0.0),
