@@ -300,3 +300,96 @@ class TestClockPallas:
         np.testing.assert_allclose(
             np.asarray(s_ex.re), np.asarray(s_pl.re), atol=1e-6
         )
+
+
+class TestStreamPallas:
+    """Pallas sequential AGC/Costas kernels (interpret mode) vs the exact
+    XLA recursions."""
+
+    def _signal(self, rng, C=128, T=1024):
+        from xritdemod_tpu.utils.cplx import CF32
+
+        return CF32(
+            jnp.asarray(rng.normal(0, 0.3, (C, T)).astype(np.float32)),
+            jnp.asarray(rng.normal(0, 0.3, (C, T)).astype(np.float32)),
+        )
+
+    def test_agc_matches_exact(self, rng):
+        from xritdemod_tpu.ops import agc as agc_op
+        from xritdemod_tpu.ops.stream_pallas import agc_block_pallas
+
+        x = self._signal(rng)
+        p = agc_op.AgcParams()
+        g0 = agc_op.agc_init(p, (128,))
+        y1, g1 = agc_op.agc_block_exact(x, g0, p)
+        y2, g2 = agc_block_pallas(x, g0, p, rows=256, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y1.re), np.asarray(y2.re), atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+    def test_costas_matches_scan(self, rng):
+        from xritdemod_tpu.ops import costas as costas_op
+        from xritdemod_tpu.ops.stream_pallas import costas_block_pallas
+
+        x = self._signal(rng)
+        cp = costas_op.costas_gains(0.0037)
+        st = costas_op.costas_init((128,))
+        z1, s1 = costas_op.costas_block(x, st, cp)
+        z2, s2 = costas_block_pallas(x, st, cp, rows=256, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(z1.re), np.asarray(z2.re), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.phase), np.asarray(s2.phase), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.freq), np.asarray(s2.freq), atol=1e-6
+        )
+
+    def test_state_chains_across_blocks(self, rng):
+        """Two consecutive Pallas blocks == one double-length block."""
+        from xritdemod_tpu.ops import costas as costas_op
+        from xritdemod_tpu.ops.stream_pallas import costas_block_pallas
+        from xritdemod_tpu.utils.cplx import CF32
+
+        x = self._signal(rng, T=2048)
+        cp = costas_op.costas_gains(0.0037)
+        st = costas_op.costas_init((128,))
+        xa = CF32(x.re[:, :1024], x.im[:, :1024])
+        xb = CF32(x.re[:, 1024:], x.im[:, 1024:])
+        za, sa = costas_block_pallas(xa, st, cp, rows=256, interpret=True)
+        zb, sb = costas_block_pallas(xb, sa, cp, rows=256, interpret=True)
+        zf, sf = costas_block_pallas(x, st, cp, rows=256, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(zf.re[:, 1024:]), np.asarray(zb.re)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sf.phase), np.asarray(sb.phase)
+        )
+
+
+class TestFirMatmul:
+    def test_matmul_matches_conv(self, rng):
+        from xritdemod_tpu.ops import fir
+
+        taps = jnp.asarray(rng.normal(size=63).astype(np.float32))
+        x = rng.normal(size=(3, 2048)).astype(np.float32)
+        h = rng.normal(size=(3, 62)).astype(np.float32)
+        y1, h1 = fir.fir_block_real(jnp.asarray(x), taps, jnp.asarray(h))
+        y2, h2 = fir.fir_block_real_matmul(jnp.asarray(x), taps, jnp.asarray(h))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+    def test_matmul_chains_blocks(self, rng):
+        """History carry: two matmul blocks == one conv run."""
+        from xritdemod_tpu.ops import fir
+
+        taps = jnp.asarray(rng.normal(size=31).astype(np.float32))
+        x = rng.normal(size=(2, 1024)).astype(np.float32)
+        full, _ = fir.fir_block_real(jnp.asarray(x), taps, jnp.zeros((2, 30)))
+        h = jnp.zeros((2, 30))
+        y1, h = fir.fir_block_real_matmul(jnp.asarray(x[:, :512]), taps, h)
+        y2, _ = fir.fir_block_real_matmul(jnp.asarray(x[:, 512:]), taps, h)
+        got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
+        np.testing.assert_allclose(np.asarray(full), got, atol=2e-5)

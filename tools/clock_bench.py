@@ -184,6 +184,26 @@ def main():
                 "pallas exact 16x32", fn, x, state,
                 feedback=lambda out, a: (a[0], out[2]),
             )
+        elif w.startswith("p") and "x" in w:
+            from xritdemod_tpu.ops.clock_pallas import (
+                clock_recovery_block_pallas_batch,
+            )
+
+            spec = w[1:]
+            ct = 128
+            if "c" in spec:
+                spec, cts = spec.split("c")
+                ct = int(cts)
+            ck, sc = (int(v) for v in spec.split("x"))
+            fn = lambda x, st, ck=ck, sc=sc, ct=ct: (
+                clock_recovery_block_pallas_batch(
+                    x, st, params, ns, chunk=ck, superchunks=sc, ct=ct
+                )
+            )
+            timeit(
+                f"pallas {ck}x{sc} ct={ct}", fn, x, state,
+                feedback=lambda out, a: (a[0], out[2]),
+            )
         elif w.startswith("k"):
             ck, sc = w[1:].split("x")
             ck, sc = int(ck), int(sc)

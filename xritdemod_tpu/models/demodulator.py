@@ -56,6 +56,17 @@ class DemodConfig:
     # outputs differ from exact by sub-1% timing jitter; post-FEC frames
     # are bit-identical (tests/test_demod_chain.py).
     clock_block_update: int = 0
+    # AGC / Costas forms for the batch path: "auto" (default) uses the
+    # fused Pallas sequential kernels (ops/stream_pallas.py) on TPU when
+    # channels % 128 == 0 — one HBM read+write instead of many scan
+    # passes; "xla" forces the scan forms.  The Pallas AGC is the *exact*
+    # sequential recursion (the XLA form approximates the max-gain clamp).
+    agc_kernel: str = "auto"
+    costas_kernel: str = "auto"
+    # RRC FIR form: "auto" (default) uses the banded-matmul MXU form
+    # (ops/fir.fir_block_real_matmul) on TPU when decimation==1 and the
+    # block divides its window, else lane-wise conv; "conv"/"matmul" force.
+    fir_kernel: str = "auto"
     # Batch-path clock kernel choice: "auto" (default) picks the Pallas
     # kernel (ops/clock_pallas.py — the exact recursion fused on-chip, ~5x
     # the XLA form) whenever running on TPU with channels a multiple of its
@@ -156,6 +167,17 @@ class Demodulator:
         )
         self._step = jax.jit(functools.partial(self._block))
 
+    def _fir_method(self, n_after_decim: int) -> str:
+        cfg = self.config
+        if cfg.fir_kernel != "auto":
+            return cfg.fir_kernel
+        ok = (
+            cfg.decimation == 1
+            and n_after_decim % 256 == 0
+            and jax.default_backend() == "tpu"
+        )
+        return "matmul" if ok else "conv"
+
     # -- state ------------------------------------------------------------
     def init_state(self) -> DemodState:
         return DemodState(
@@ -176,7 +198,10 @@ class Demodulator:
         else:
             dec_hist = state.dec_hist
         x, agc_gain = agc_op.agc_block(x, state.agc_gain, self._agc)
-        x, rrc_hist = fir.fir_block(x, self._rrc_taps, state.rrc_hist)
+        x, rrc_hist = fir.fir_block(
+            x, self._rrc_taps, state.rrc_hist,
+            method=self._fir_method(x.re.shape[-1]),
+        )
         x, costas_state = costas_op.costas_block(x, state.costas, self._costas)
         syms, valid, clock_state = cr_op.clock_recovery_block(
             x, state.clock, self._clock, self.num_slots
@@ -216,9 +241,34 @@ class Demodulator:
             )
         else:
             dec_hist = state.dec_hist
-        x, agc_gain = agc_op.agc_block(x, state.agc_gain, self._agc)
-        x, rrc_hist = fir.fir_block(x, self._rrc_taps, state.rrc_hist)
-        x, costas_state = costas_op.costas_block(x, state.costas, self._costas)
+        C_, T_ = x.re.shape
+        stream_ok = (
+            jax.default_backend() == "tpu" and C_ % 128 == 0 and T_ % 256 == 0
+        )
+        if cfg.agc_kernel == "pallas" or (
+            cfg.agc_kernel == "auto" and stream_ok
+        ):
+            from xritdemod_tpu.ops.stream_pallas import agc_block_pallas
+
+            x, agc_gain = agc_block_pallas(x, state.agc_gain, self._agc)
+        else:
+            x, agc_gain = agc_op.agc_block(x, state.agc_gain, self._agc)
+        x, rrc_hist = fir.fir_block(
+            x, self._rrc_taps, state.rrc_hist,
+            method=self._fir_method(x.re.shape[-1]),
+        )
+        if cfg.costas_kernel == "pallas" or (
+            cfg.costas_kernel == "auto" and stream_ok
+        ):
+            from xritdemod_tpu.ops.stream_pallas import costas_block_pallas
+
+            x, costas_state = costas_block_pallas(
+                x, state.costas, self._costas
+            )
+        else:
+            x, costas_state = costas_op.costas_block(
+                x, state.costas, self._costas
+            )
         use_pallas = cfg.clock_kernel == "pallas" or (
             cfg.clock_kernel == "auto"
             and not cfg.clock_block_update

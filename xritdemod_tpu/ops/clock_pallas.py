@@ -283,17 +283,21 @@ def clock_recovery_block_pallas_batch(
     state: ClockRecoveryState,
     params: ClockRecoveryParams,
     num_slots: int,
-    chunk: int = 16,
-    superchunks: int = 32,
-    ct: int = 128,
+    chunk: int = 8,
+    superchunks: int = 64,
+    ct: int | None = None,
     interpret: bool = False,
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Pallas path: drop-in for `clock_recovery_block_batch` (same contract).
 
     `(C, T)` CF32 in with `(C,)`-leading state; C must be a multiple of the
-    channel tile `ct` (lane width per grid step).
+    channel tile `ct` (lane width per grid step; None = widest of
+    512/256/128 that divides C — wider tiles amortize the per-symbol loop
+    across more lanes, measured best at 256).
     """
     C, T = x.re.shape
+    if ct is None:
+        ct = next((w for w in (256, 512, 128) if C % w == 0), 128)
     if C % ct:
         raise ValueError(f"channels {C} must be a multiple of tile {ct}")
     w08, a0, RELMAX, CW, SL, SW8, spread, SWE8 = _geometry(
@@ -373,7 +377,11 @@ def clock_recovery_block_pallas_batch(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # Channel tiles are independent (state is per-channel): let the
+        # grid split across megacore tensorcores where present.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, dimension_semantics=("parallel",)
+        ),
     )(
         xr_T,
         xi_T,
