@@ -117,7 +117,7 @@ def bench_decode(mode: str):
     from xritdemod_tpu import tx
     from xritdemod_tpu.models.decoder import CaduDecoder, DecoderConfig
 
-    B = int(os.environ.get("BENCH_FRAMES", "32"))
+    B = int(os.environ.get("BENCH_FRAMES", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     lrit = mode == "lrit"
 

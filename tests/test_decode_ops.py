@@ -202,3 +202,23 @@ class TestReedSolomon:
         ident = np.arange(256, dtype=np.uint8)
         back = np.asarray(rs.to_dual(rs.to_conventional(jnp.asarray(ident))))
         assert np.array_equal(back, ident)
+
+
+class TestViterbiPallas:
+    def test_matches_xla_bit_exact(self, rng):
+        """Pallas Viterbi (interpret) == XLA Viterbi, bits and errors."""
+        import jax.numpy as jnp
+
+        from xritdemod_tpu.ops import viterbi as vit
+        from xritdemod_tpu.ops.viterbi_pallas import viterbi_decode_pallas
+
+        B, T = 8, 128
+        bits = rng.integers(0, 2, (B, T)).astype(np.uint8)
+        coded = np.asarray(vit.reencode_bits(jnp.asarray(bits)))
+        soft = (1.0 - 2.0 * coded.astype(np.float32)) * 64 + rng.normal(
+            0, 12, (B, 2 * T)
+        ).astype(np.float32)
+        b1, e1 = vit.viterbi_decode(jnp.asarray(soft))
+        b2, e2 = viterbi_decode_pallas(jnp.asarray(soft), interpret=True)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

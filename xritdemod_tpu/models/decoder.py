@@ -113,9 +113,14 @@ class CaduDecoder:
         soft = soft.astype(jnp.float32)
 
         # Per-frame sync recheck at every expected frame start (the
-        # reference flywheel, newdecoder.cpp:218-237, vectorized).
-        starts = jnp.arange(B, dtype=jnp.int32) * _CODED
-        corr, word = corr_op.correlate_at(soft, self._templates, starts)
+        # reference flywheel, newdecoder.cpp:218-237, vectorized).  Starts
+        # are regular (k*_CODED) so the windows come from a reshape — a
+        # vmap'd dynamic_slice would serialize one row per frame on TPU.
+        win = soft.reshape(B, _CODED)[:, : corr_op.UW_BITS]
+        signs = jnp.where(win < 0, -1.0, 1.0).astype(jnp.float32)
+        counts = (corr_op.UW_BITS + signs @ self._templates.T) * 0.5  # (B, W)
+        word = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+        corr = jnp.max(counts, axis=-1)
         sync_ok = corr >= cfg.min_correlation_bits
 
         # Phase-ambiguity fix, LRIT only (newdecoder.cpp:267-270); HRIT's
@@ -127,16 +132,21 @@ class CaduDecoder:
         else:
             fixed = soft
 
-        # Extended frames with 64-symbol history overlap.
-        padded = jnp.concatenate([tail, fixed])
-        ext = jnp.stack(
-            [
-                jax.lax.dynamic_slice(padded, (k * _CODED,), (_EXT,))
-                for k in range(B)
-            ]
-        )                                                     # (B, 16448)
+        # Extended frames with 64-symbol history overlap: each frame is
+        # prefixed by the previous frame's last 64 symbols (frame 0 by the
+        # carried tail) — pure reshape+concat, no per-frame slicing.
+        frames0 = fixed.reshape(B, _CODED)
+        prev_tails = jnp.concatenate(
+            [tail[None, :], frames0[:-1, -_HIST:]], axis=0
+        )                                                     # (B, 64)
+        ext = jnp.concatenate([prev_tails, frames0], axis=1)  # (B, 16448)
 
-        bits, vit_errors = vit_op.viterbi_decode(ext)         # (B, 8224)
+        if jax.default_backend() == "tpu" and B % 8 == 0:
+            from xritdemod_tpu.ops.viterbi_pallas import viterbi_decode_pallas
+
+            bits, vit_errors = viterbi_decode_pallas(ext)     # (B, 8224)
+        else:
+            bits, vit_errors = vit_op.viterbi_decode(ext)     # (B, 8224)
         decoded = pack_bits(bits)                             # (B, 1028)
         if not cfg.lrit:
             decoded = nrzm_op.nrzm_decode_bytes(decoded)

@@ -102,6 +102,12 @@ def _mm_kernel(
     col0 = pl.multiple_of(tile * CT, 128)
 
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (INTERP_TAPS, CT), 0)
+    # Per-tap constants (computed once per grid step from iota — Pallas
+    # kernels cannot close over array constants).
+    _kf = k_iota.astype(jnp.float32)
+    A_K = jnp.cos(jnp.float32(math.pi / 4.0) * (_kf - 3.0))  # (8, CT)
+    B_K = jnp.sin(jnp.float32(math.pi / 4.0) * (_kf - 3.0))
+    SGN_K = 1.0 - 2.0 * (_kf % 2.0)
     nb = max(1, (spread + 8).bit_length())
     nb2 = max(1, (RELMAX - 1).bit_length())
     pi_c = jnp.float32(math.pi)
@@ -164,15 +170,29 @@ def _mm_kernel(
                 cw_i = jnp.where(
                     bit, jnp.concatenate([cw_i[sh:], zpad], axis=0), cw_i
                 )
-            cw_r = cw_r[:CW]
-            cw_i = cw_i[:CW]
+            # Shrinking live window: symbol j only needs
+            # (chunk-j)*(a0+1) + 8 rows, so each shift moves less data.
+            CW0 = chunk * (a0 + 1) + INTERP_TAPS
+            cw_r = cw_r[:CW0]
+            cw_i = cw_i[:CW0]
 
             for j in range(chunk):
                 valid = ii < limit                       # (1, CT)
                 u = k_iota.astype(jnp.float32) - 3.0 - mu     # (8, CT)
-                wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
+                # Angle-addition taps: with u = k - 3 - mu (k integer),
+                #   sin(pi u)     = (-1)^k sin(pi mu)
+                #   cos(pi u / 4) = cos(pi(k-3)/4) cos(pi mu/4)
+                #                 + sin(pi(k-3)/4) sin(pi mu/4)
+                # so the transcendentals run on (1, CT) vectors, not the
+                # full (8, CT) tap grid (same formula as the XLA kernel to
+                # float rounding).
+                sin_mu = jnp.sin(pi_c * mu)              # (1, CT)
+                cos_q = jnp.cos(jnp.float32(math.pi / 4.0) * mu)
+                sin_q = jnp.sin(jnp.float32(math.pi / 4.0) * mu)
+                wwin = 0.54 + 0.46 * (A_K * cos_q + B_K * sin_q)
+                sgn = SGN_K
                 pu = pi_c * u
-                sinc = jnp.where(u == 0.0, 1.0, jnp.sin(pu) / pu)
+                sinc = jnp.where(u == 0.0, 1.0, sgn * sin_mu / pu)
                 t = sinc * wwin
                 t = t / jnp.sum(t, axis=0, keepdims=True)
                 p0r = jnp.sum(cw_r[:INTERP_TAPS] * t, axis=0, keepdims=True)
@@ -202,17 +222,21 @@ def _mm_kernel(
                 ob_i[col : col + 1, :] = jnp.where(vf, p0i, 0.0)
                 ob_v[col : col + 1, :] = jnp.where(vf, 1.0, 0.0)
 
-                # Keep row 0 = x[ii]: shift by whichever advance happened.
-                # Shifting on invalid (masked) symbols is harmless — all
-                # later symbols in the block are invalid too.
-                hi = (adv.astype(jnp.int32) == a0 + 1)
-                zp = jnp.zeros((a0 + 1, CT), jnp.float32)
-                lo_r = jnp.concatenate([cw_r[a0:], zp[: a0]], axis=0)
-                hi_r = jnp.concatenate([cw_r[a0 + 1 :], zp], axis=0)
-                lo_i = jnp.concatenate([cw_i[a0:], zp[: a0]], axis=0)
-                hi_i = jnp.concatenate([cw_i[a0 + 1 :], zp], axis=0)
-                cw_r = jnp.where(hi, hi_r, lo_r)
-                cw_i = jnp.where(hi, hi_i, lo_i)
+                # Keep row 0 = x[ii]: shift by whichever advance happened
+                # (a0 or a0+1 — provably the only two).  Only the rows the
+                # REMAINING symbols of this chunk can touch are kept, so
+                # each shift moves a shrinking window and the last symbol
+                # skips the shift entirely.  Shifting on invalid (masked)
+                # symbols is harmless — all later symbols are invalid too.
+                if j < chunk - 1:
+                    rnext = (chunk - 1 - j) * (a0 + 1) + INTERP_TAPS
+                    hi = (adv.astype(jnp.int32) == a0 + 1)
+                    cw_r = jnp.where(
+                        hi, cw_r[a0 + 1 : a0 + 1 + rnext], cw_r[a0 : a0 + rnext]
+                    )
+                    cw_i = jnp.where(
+                        hi, cw_i[a0 + 1 : a0 + 1 + rnext], cw_i[a0 : a0 + rnext]
+                    )
 
                 mu = jnp.where(vf, new_mu, mu)
                 om = jnp.where(vf, new_om, om)

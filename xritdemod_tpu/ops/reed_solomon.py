@@ -121,6 +121,80 @@ def _gfmul(a, b, bexp, blog):
     return jnp.where((a == 0) | (b == 0), 0, prod)
 
 
+def _gfmul_bits(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Gather-free GF(2^8) multiply (poly 0x187), elementwise int32.
+
+    Carry-less product via 8 shift+select+XOR partials, then 7 conditional
+    XOR reduction steps — pure VPU integer ops, no table gathers (gathers
+    serialize on TPU and were the RS decoder's bottleneck)."""
+    acc = jnp.zeros_like(a)
+    for i in range(8):
+        acc = acc ^ jnp.where((b >> i) & 1 != 0, a << i, 0)
+    for j in range(14, 7, -1):
+        acc = acc ^ jnp.where(
+            (acc >> j) & 1 != 0, np.int32(C.RS_GF_POLY << (j - 8)), 0
+        )
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _sq_table() -> tuple:
+    """GF squares of the 8 basis bits (squaring is GF(2)-linear)."""
+    bexp, blog, *_ = _gf_tables()
+
+    def mul(a, b):
+        if a == 0 or b == 0:
+            return 0
+        return int(bexp[(blog[a] + blog[b]) % 255])
+
+    return tuple(mul(1 << j, 1 << j) for j in range(8))
+
+
+def _gfsq_bits(a: jax.Array) -> jax.Array:
+    """GF square via the linear basis map: XOR of SQ[j] over set bits."""
+    sq = _sq_table()
+    acc = jnp.zeros_like(a)
+    for j in range(8):
+        acc = acc ^ jnp.where((a >> j) & 1 != 0, np.int32(sq[j]), 0)
+    return acc
+
+
+def _gfinv_bits(a: jax.Array) -> jax.Array:
+    """GF inverse a^254 = a^2 * a^4 * ... * a^128 (0 -> 0)."""
+    s = _gfsq_bits(a)          # a^2
+    r = s
+    for _ in range(6):
+        s = _gfsq_bits(s)      # a^4 .. a^128
+        r = _gfmul_bits(r, s)
+    return r
+
+
+def _bitlinear_bytes(x: jax.Array, images: tuple) -> jax.Array:
+    """Apply a GF(2)-linear byte map given its 8 basis images."""
+    acc = jnp.zeros_like(x)
+    for j in range(8):
+        acc = acc ^ jnp.where((x >> j) & 1 != 0, np.int32(images[j]), 0)
+    return acc
+
+
+def _bytes_to_bits_f32(x: jax.Array) -> jax.Array:
+    """(..., n) int32 bytes -> (..., 8n) float32 bits (bit j of byte i at
+    column 8i+j)."""
+    bits = jnp.stack([(x >> j) & 1 for j in range(8)], axis=-1)
+    return bits.reshape(x.shape[:-1] + (x.shape[-1] * 8,)).astype(jnp.float32)
+
+
+def _parity_bits_to_bytes(y: jax.Array) -> jax.Array:
+    """f32 counts (..., 8n) -> int32 bytes: byte i = sum_j (count mod 2)<<j.
+
+    Counts are exact in f32 (<= 2040 < 2^24)."""
+    b = (y.astype(jnp.int32) & 1).reshape(y.shape[:-1] + (-1, 8))
+    acc = b[..., 0]
+    for j in range(1, 8):
+        acc = acc | (b[..., j] << j)
+    return acc
+
+
 def _xor_reduce(x, axis):
     return jax.lax.reduce(x, np.int32(0), jax.lax.bitwise_xor, (axis,))
 
@@ -169,6 +243,73 @@ def _power_matrices():
     return syn_pw.astype(np.int32), chien_pw.astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _basis_images():
+    """(conv_images, dual_images): per-bit images of the basis maps."""
+    _, _, taltab, tal1tab, _ = _gf_tables()
+    conv = tuple(int(tal1tab[1 << j]) for j in range(8))
+    dual = tuple(int(taltab[1 << j]) for j in range(8))
+    return conv, dual
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_matrices():
+    """GF(2) bit matrices (numpy f32 0/1) for the linear sweeps.
+
+    Every multiply-by-constant in GF(2^8) is linear over GF(2), so the
+    syndrome computation, Chien search, and the two Forney evaluations are
+    bit-linear maps.  Expressed as 0/1 matrices they run as ONE (exact)
+    MXU matmul each — counts < 2^24 are exact even through the bf16
+    multiply path — followed by a mod-2.  This replaces the (B, 32, 255)
+    exp/log gather sweeps that serialized on TPU.
+    """
+    bexp, blog, taltab, tal1tab, _ = _gf_tables()
+    syn_pw, chien_pw = _power_matrices()
+    bexp = bexp.astype(np.int64)
+    blog = blog.astype(np.int64)
+
+    def gmul_vec(a, b):
+        a = np.asarray(a, np.int64)
+        b = np.asarray(b, np.int64)
+        out = bexp[(blog[a] + blog[b]) % 255]
+        return np.where((a == 0) | (b == 0), 0, out)
+
+    def bits_of(c):
+        return ((c[..., None] >> np.arange(8)) & 1).astype(np.float32)
+
+    units = (1 << np.arange(8)).astype(np.int64)
+
+    # Syndromes, dual->conventional absorbed: the received byte r_i is
+    # dual-basis; conventional image of its bit j is tal1tab[1<<j].
+    U = tal1tab[units].astype(np.int64)                     # (8,)
+    P = bexp[syn_pw]                                        # (32, 255)
+    Cs = gmul_vec(U[None, None, :], P[:, :, None])          # (32, 255, 8)
+    msyn = np.transpose(bits_of(Cs), (1, 2, 0, 3)).reshape(_N * 8, _T2 * 8)
+
+    # Chien: lam_eval_p = XOR_k Lam_k * bexp[chien_pw[p, k]]
+    A = bexp[chien_pw]                                      # (255, 33)
+    Cc = gmul_vec(units[None, None, :], A[:, :, None])      # (255, 33, 8)
+    mchien = np.transpose(bits_of(Cc), (1, 2, 0, 3)).reshape(
+        _NPOLY * 8, _N * 8
+    )
+
+    # Forney numerator with X^{1-FCR} absorbed:
+    #   num_p = beta^{p(1-FCR)} * XOR_k Om_k * bexp[chien_pw[p, k<32]]
+    p = np.arange(_N)
+    xpow = bexp[(p * (1 - _FCR)) % 255]                     # (255,)
+    Ao = gmul_vec(bexp[chien_pw[:, :_T2]], xpow[:, None])   # (255, 32)
+    Co = gmul_vec(units[None, None, :], Ao[:, :, None])     # (255, 32, 8)
+    mom = np.transpose(bits_of(Co), (1, 2, 0, 3)).reshape(_T2 * 8, _N * 8)
+
+    # Lambda' (formal derivative = odd coefficients):
+    #   dlam_p = XOR_{k odd} Lam_k * beta^{(255-p)(k-1)}
+    dpw = ((255 - p)[:, None] * (np.arange(1, _NPOLY, 2) - 1)[None, :]) % 255
+    Cd = gmul_vec(units[None, None, :], bexp[dpw][:, :, None])  # (255,16,8)
+    mdl = np.transpose(bits_of(Cd), (1, 2, 0, 3)).reshape(16 * 8, _N * 8)
+
+    return msyn, mchien, mom, mdl
+
+
 @jax.jit
 def rs_decode(received: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Decode `(B, 255)` dual-basis codewords.
@@ -176,92 +317,89 @@ def rs_decode(received: jax.Array) -> tuple[jax.Array, jax.Array]:
     Returns `(corrected, nerrors)`: corrected `(B, 255)` dual-basis bytes
     (parity included) and `(B,)` int32 corrected-symbol counts, -1 on
     decode failure (uncorrectable), matching `decode_ccsds`.
+
+    Gather-free: the linear sweeps (syndromes/Chien/Forney evals) are GF(2)
+    bit-matmuls on the MXU; data*data products use the carry-less
+    `_gfmul_bits`; inversion is a squaring chain (`_gfinv_bits`).
     """
-    bexp, blog = (jnp.asarray(t) for t in _jax_tables()[:2])
-    syn_pw, chien_pw = (jnp.asarray(t) for t in _power_matrices())
+    msyn, mchien, mom, mdl = (jnp.asarray(m) for m in _bit_matrices())
+    conv_im, dual_im = _basis_images()
 
-    r = to_conventional(received)                        # (B, 255) int32
-    B = r.shape[0]
+    rin = received.astype(jnp.int32)
+    B = rin.shape[0]
+    r = _bitlinear_bytes(rin, conv_im)                   # conventional basis
 
-    # ---- syndromes: (B, 32) --------------------------------------------
-    terms = bexp[blog[r][:, None, :] + syn_pw[None, :, :]]          # (B,32,255)
-    terms = jnp.where(r[:, None, :] == 0, 0, terms)
-    S = _xor_reduce(terms, 2)                                       # (B, 32)
+    # ---- syndromes: one (B, 2040) @ (2040, 256) bit-matmul --------------
+    rbits = _bytes_to_bits_f32(rin)
+    S = _parity_bits_to_bytes(
+        jnp.dot(rbits, msyn, preferred_element_type=jnp.float32)
+    )                                                               # (B, 32)
     has_err = jnp.any(S != 0, axis=-1)
 
-    # ---- Berlekamp-Massey, fixed 32 iterations with masked updates ------
+    # ---- Berlekamp-Massey: scan over 32 masked iterations ---------------
+    # Hankel windows of S built OUTSIDE the scan from static slices, so the
+    # scan body has no traced-index gathers: Sg_all[rr, :, k] = S_{rr-k}.
+    Szp = jnp.concatenate([jnp.zeros((B, _NPOLY), jnp.int32), S], axis=-1)
+    Sg_all = jnp.stack(
+        [jnp.flip(Szp[:, rr + 1 : rr + 1 + _NPOLY], -1) for rr in range(_T2)]
+    )                                                     # (32, B, 33)
+
     Lam = jnp.zeros((B, _NPOLY), jnp.int32).at[:, 0].set(1)
     Bp = jnp.zeros((B, _NPOLY), jnp.int32).at[:, 0].set(1)
     L = jnp.zeros((B,), jnp.int32)
-    bscal = jnp.ones((B,), jnp.int32)
+    binv = jnp.ones((B,), jnp.int32)     # 1/bscal, maintained incrementally
 
-    # S padded so S[r - i] gathers stay in range (indices clipped by mask).
-    Szp = jnp.concatenate([S, jnp.zeros((B, _NPOLY), jnp.int32)], axis=-1)
-
-    def bm_step(carry, rr):
-        Lam, Bp, L, bscal = carry
-        idx = rr - jnp.arange(_NPOLY)                    # (33,)
-        valid = idx >= 0
-        Sg = jnp.where(valid[None, :], Szp[:, jnp.clip(idx, 0)], 0)
-        d = _xor_reduce(_gfmul(Lam, Sg, bexp, blog), 1)  # (B,)
-
+    def bm_step(carry, xs):
+        Lam, Bp, L, binv = carry
+        rr, Sg = xs
+        d = _xor_reduce(_gfmul_bits(Lam, Sg), 1)          # (B,)
         Bx = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), Bp[:, :-1]], -1)
-        # frac = d / bscal  (bscal is never 0)
-        inv_b = bexp[255 - blog[bscal]]
-        frac = _gfmul(d, inv_b, bexp, blog)
-        adj = _gfmul(frac[:, None], Bx, bexp, blog)
+        frac = _gfmul_bits(d, binv)
+        adj = _gfmul_bits(frac[:, None], Bx)
         newLam = jnp.where((d != 0)[:, None], Lam ^ adj, Lam)
         grow = (d != 0) & (2 * L <= rr)
         newBp = jnp.where(grow[:, None], Lam, Bx)
-        newb = jnp.where(grow, d, bscal)
+        newbinv = jnp.where(grow, _gfinv_bits(d), binv)
         newL = jnp.where(grow, rr + 1 - L, L)
-        return (newLam, newBp, newL, newb), None
+        return (newLam, newBp, newL, newbinv), None
 
     (Lam, _, L, _), _ = jax.lax.scan(
-        bm_step, (Lam, Bp, L, bscal), jnp.arange(_T2, dtype=jnp.int32)
+        bm_step, (Lam, Bp, L, binv),
+        (jnp.arange(_T2, dtype=jnp.int32), Sg_all),
     )
 
-    # ---- Chien search: roots of Lambda over beta^{-p}, p = 0..254 -------
-    lam_log = blog[Lam]                                              # (B, 33)
-    cterm = bexp[lam_log[:, None, :] + chien_pw[None, :, :]]         # (B,255,33)
-    cterm = jnp.where(Lam[:, None, :] == 0, 0, cterm)
-    lam_eval = _xor_reduce(cterm, 2)                                 # (B, 255)
-    root = lam_eval == 0                                             # (B, 255)
+    # ---- Chien search (bit-matmul) --------------------------------------
+    lam_bits = _bytes_to_bits_f32(Lam)                               # (B, 264)
+    lam_eval = _parity_bits_to_bytes(
+        jnp.dot(lam_bits, mchien, preferred_element_type=jnp.float32)
+    )                                                                # (B, 255)
+    root = lam_eval == 0
     nroots = jnp.sum(root, axis=-1).astype(jnp.int32)
 
-    # ---- Forney: Omega = S(x)*Lambda(x) mod x^32 ------------------------
-    jj = jnp.arange(_T2)
-    ii = jnp.arange(_T2)
-    # conv[j] = XOR_i S[i] * Lam[j-i], 0 <= j-i <= 32
-    diff = jj[:, None] - ii[None, :]                                 # (32, 32)
-    ok = (diff >= 0) & (diff < _NPOLY)
-    Lg = jnp.where(ok[None], Lam[:, jnp.clip(diff, 0, _NPOLY - 1)], 0)
-    Om = _xor_reduce(_gfmul(S[:, None, :], Lg, bexp, blog), 2)       # (B, 32)
+    # ---- Omega = S(x)*Lambda(x) mod x^32 (dense windowed product) -------
+    # Om_j = XOR_i S_i * Lam_{j-i}; windows built from static slices.
+    LamP = jnp.concatenate(
+        [jnp.zeros((B, _T2 - 1), jnp.int32), Lam[:, :_T2]], axis=-1
+    )                                                     # (B, 63)
+    W = jnp.stack(
+        [jnp.flip(LamP[:, j : j + _T2], -1) for j in range(_T2)], axis=1
+    )                                                     # (B, 32, 32)
+    Om = _xor_reduce(_gfmul_bits(S[:, None, :], W), 2)    # (B, 32)
 
-    # Evaluate at X^{-1} = beta^{-p}: Omega(beta^{-p}), Lambda'(beta^{-p}).
-    om_log = blog[Om]
-    opw = jnp.asarray(_power_matrices()[1][:, :_T2])                 # (255, 32)
-    oterm = bexp[om_log[:, None, :] + opw[None, :, :]]
-    oterm = jnp.where(Om[:, None, :] == 0, 0, oterm)
-    om_eval = _xor_reduce(oterm, 2)                                  # (B, 255)
+    # ---- Forney evaluations (bit-matmuls) -------------------------------
+    num = _parity_bits_to_bytes(
+        jnp.dot(_bytes_to_bits_f32(Om), mom,
+                preferred_element_type=jnp.float32)
+    )                                                    # (B, 255), xpow in
+    dl = Lam[:, 1::2]                                                # (B, 16)
+    dlam_eval = _parity_bits_to_bytes(
+        jnp.dot(_bytes_to_bits_f32(dl), mdl,
+                preferred_element_type=jnp.float32)
+    )                                                                # (B, 255)
 
-    # Lambda'(x) = sum over odd k of Lambda_k x^(k-1)
-    kodd = jnp.arange(1, _NPOLY, 2)
-    dl = Lam[:, kodd]                                                # (B, 16)
-    dpw = jnp.asarray(
-        (((255 - np.arange(_N))[:, None] * (np.arange(1, _NPOLY, 2) - 1)[None, :])
-         % 255).astype(np.int32)
-    )                                                                # (255, 16)
-    dterm = bexp[blog[dl][:, None, :] + dpw[None, :, :]]
-    dterm = jnp.where(dl[:, None, :] == 0, 0, dterm)
-    dlam_eval = _xor_reduce(dterm, 2)                                # (B, 255)
-
-    # e_p = X^{1-FCR} * Omega(X^{-1}) / Lambda'(X^{-1}),  X = beta^p
-    p = jnp.arange(_N)
-    xpow = bexp[(p * (1 - _FCR)) % 255][None, :]                     # (1, 255)
-    num = _gfmul(xpow, om_eval, bexp, blog)
-    inv_dl = bexp[255 - blog[jnp.where(dlam_eval == 0, 1, dlam_eval)]]
-    e = _gfmul(num, inv_dl, bexp, blog)
+    e = _gfmul_bits(
+        num, _gfinv_bits(jnp.where(dlam_eval == 0, 1, dlam_eval))
+    )
     e = jnp.where(root & (dlam_eval != 0), e, 0)                     # (B, 255)
 
     # Error at power p sits at byte index 254 - p.
@@ -271,7 +409,7 @@ def rs_decode(received: jax.Array) -> tuple[jax.Array, jax.Array]:
     ok_decode = (~has_err) | ((nroots == L) & (L > 0) & (L <= C.RS_T))
     nerr = jnp.where(has_err, jnp.where(ok_decode, L, -1), 0)
     corrected_conv = jnp.where(ok_decode[:, None], corrected_conv, r)
-    return to_dual(corrected_conv).astype(jnp.uint8), nerr
+    return _bitlinear_bytes(corrected_conv, dual_im).astype(jnp.uint8), nerr
 
 
 def rs_decode_frame(frames: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -1,0 +1,201 @@
+"""Pallas TPU kernel for the CCSDS rate-1/2 K=7 Viterbi decoder.
+
+Replaces the XLA `lax.scan` form (ops/viterbi.py) whose 8256 tiny
+`(B, 64)` steps stage through HBM and dominate the decode chain (~63 ms at
+B=256).  Reference semantics: SatHelper `Viterbi27` (over libcorrect) at
+/root/reference/decoder/src/newdecoder.cpp:281.
+
+Design:
+  - Frames pack as `(8, L)` sublane x lane planes (B = 8*L), so one ACS
+    update for all frames is a single full-width VPU op.
+  - The 64 path metrics are individual `(8, L)` values carried through an
+    inner `fori_loop` — the state dimension is UNROLLED in Python, so
+    metrics live in vector registers; there is no state-axis gather (the
+    predecessor wiring pm[n>>1], pm[(n>>1)+32] is static Python indexing).
+  - Branch metrics come from 3 adds: the four +-a+-b combinations, each
+    state picking its pair by the static sign tables.
+  - Decisions bit-pack into two int32 words per step (bit n&31 of word
+    n>>5), written as a `(T, 2, 8, L)` plane array; time is pipelined by a
+    sequential 1D grid with the metrics persisted in VMEM scratch.
+  - Traceback is a second, reverse-grid kernel: per step a bounded-range
+    variable shift extracts the decision bit of the current state — all
+    elementwise, no gathers.
+
+Float semantics match ops/viterbi.py bit-for-bit: `a*g1 + b*g2` with
+g in {+-1} equals the corresponding +-a+-b sum under IEEE arithmetic, and
+the max/compare order is identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xritdemod_tpu.ops import conv_code
+from xritdemod_tpu.ops.viterbi import corrected_bits
+
+__all__ = ["viterbi_decode_pallas"]
+
+_NS = conv_code.NUM_STATES  # 64
+
+
+@functools.lru_cache(maxsize=None)
+def _sign_tables():
+    g1_0, g2_0, g1_1, g2_1 = conv_code.branch_signs()
+    return (
+        tuple(int(v) for v in g1_0),
+        tuple(int(v) for v in g2_0),
+        tuple(int(v) for v in g1_1),
+        tuple(int(v) for v in g2_1),
+    )
+
+
+def _fwd_kernel(x_ref, dec_ref, pm_out, pm_scr, *, rows):
+    g1_0, g2_0, g1_1, g2_1 = _sign_tables()
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        pm_scr[:] = jnp.zeros_like(pm_scr)
+
+    def body(r, pm):
+        a = x_ref[r, 0]                                  # (8, L)
+        b = x_ref[r, 1]
+        spp = a + b
+        spm = a - b
+        smp = b - a
+        smm = -spp
+
+        def bm(g1, g2):
+            return {
+                (1, 1): spp, (1, -1): spm, (-1, 1): smp, (-1, -1): smm
+            }[(g1, g2)]
+
+        new = []
+        w0 = None
+        w1 = None
+        for n in range(_NS):
+            c0 = pm[n >> 1] + bm(g1_0[n], g2_0[n])
+            c1 = pm[(n >> 1) + _NS // 2] + bm(g1_1[n], g2_1[n])
+            dec = c1 > c0
+            new.append(jnp.where(dec, c1, c0))
+            mask = np.uint32(1 << (n & 31)).astype(np.int32)  # bit 31 wraps
+            dbit = jnp.where(dec, mask, 0)
+            if n < 32:
+                w0 = dbit if w0 is None else (w0 | dbit)
+            else:
+                w1 = dbit if w1 is None else (w1 | dbit)
+        dec_ref[r, 0] = w0
+        dec_ref[r, 1] = w1
+        return tuple(new)
+
+    pm = tuple(pm_scr[n] for n in range(_NS))
+    pm = jax.lax.fori_loop(0, rows, body, pm)
+    for n in range(_NS):
+        pm_scr[n] = pm[n]
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        for n in range(_NS):
+            pm_out[n] = pm[n]
+
+
+def _back_kernel(dec_ref, st0_ref, bits_ref, st_out, st_scr, *, rows):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        st_scr[:] = st0_ref[:]
+
+    def body(i, state):
+        r = rows - 1 - i
+        w0 = dec_ref[r, 0]
+        w1 = dec_ref[r, 1]
+        word = jnp.where(state < _NS // 2, w0, w1)
+        took = (word >> (state & 31)) & 1
+        bits_ref[r] = state & 1
+        return (state >> 1) + took * (_NS // 2)
+
+    state = jax.lax.fori_loop(0, rows, body, st_scr[:])
+    st_scr[:] = state
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        st_out[:] = state
+
+
+def _pick_tb(T: int, budget_rows: int = 320) -> int:
+    best = 1
+    for tb in range(1, T + 1):
+        if T % tb == 0 and tb <= budget_rows:
+            best = tb
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def viterbi_decode_pallas(
+    soft: jax.Array, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Drop-in for `viterbi.viterbi_decode`: `(B, 2T)` soft -> bits, errors.
+
+    B must be a multiple of 8 (frames pack into 8 sublanes).
+    """
+    soft = soft.astype(jnp.float32)
+    B, T2 = soft.shape
+    T = T2 // 2
+    if B % 8:
+        raise ValueError(f"B={B} must be a multiple of 8")
+    L = B // 8
+    TB = _pick_tb(T)
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    # (B, 2T) -> (T, 2, 8, L) planes
+    x = soft.reshape(B, T, 2)
+    x = jnp.moveaxis(x, 0, -1).reshape(T, 2, 8, L)
+
+    blk = pl.BlockSpec((TB, 2, 8, L), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dec, pm = pl.pallas_call(
+        functools.partial(_fwd_kernel, rows=TB),
+        grid=(T // TB,),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 2, 8, L), i32),
+            jax.ShapeDtypeStruct((_NS, 8, L), f32),
+        ),
+        in_specs=[blk],
+        out_specs=(blk, full),
+        scratch_shapes=[pltpu.VMEM((_NS, 8, L), f32)],
+        interpret=interpret,
+    )(x)
+
+    # Best end state: argmax over the 64 metric planes.
+    pm_flat = pm.reshape(_NS, B)
+    end_state = jnp.argmax(pm_flat, axis=0).astype(i32).reshape(8, L)
+
+    bblk = pl.BlockSpec((TB, 2, 8, L), lambda i: (pl.num_programs(0) - 1 - i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((TB, 8, L), lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bits_planes, _ = pl.pallas_call(
+        functools.partial(_back_kernel, rows=TB),
+        grid=(T // TB,),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 8, L), i32),
+            jax.ShapeDtypeStruct((8, L), i32),
+        ),
+        in_specs=[bblk, full],
+        out_specs=(oblk, full),
+        scratch_shapes=[pltpu.VMEM((8, L), i32)],
+        interpret=interpret,
+    )(dec, end_state)
+
+    bits = (
+        jnp.moveaxis(bits_planes.reshape(T, B), 0, -1).astype(jnp.uint8)
+    )                                                     # (B, T)
+    hard = (soft < 0).astype(jnp.uint8)
+    errors = corrected_bits(bits, hard)
+    return bits, errors
