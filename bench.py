@@ -67,6 +67,9 @@ def bench_demod(mode: str):
     ck = os.environ.get("BENCH_CLOCK_KERNEL")
     if ck:
         cfg = dataclasses.replace(cfg, clock_kernel=ck)
+    fe = os.environ.get("BENCH_FRONTEND")
+    if fe:
+        cfg = dataclasses.replace(cfg, frontend_kernel=fe)
     demod = ChannelDemodulator(cfg, channels=C, block_len=T)
 
     rng = np.random.default_rng(0)

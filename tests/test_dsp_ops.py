@@ -369,6 +369,154 @@ class TestStreamPallas:
         )
 
 
+class TestFrontendPallas:
+    """Fused AGC+RRC+Costas kernel (interpret mode) vs the split stages."""
+
+    def _setup(self, rng, C=128, T=1024):
+        from xritdemod_tpu.ops import filters
+
+        x = CF32(
+            jnp.asarray(rng.normal(0, 0.3, (C, T)).astype(np.float32)),
+            jnp.asarray(rng.normal(0, 0.3, (C, T)).astype(np.float32)),
+        )
+        taps = filters.rrc_taps(1.0, 1_250_000, 293_883, 0.5, 63)
+        agc_p = agc_op.AgcParams()
+        cp = costas_op.costas_gains(0.0037)
+        g0 = agc_op.agc_init(agc_p, (C,))
+        h0 = fir.fir_init(len(taps), (C,))
+        cs0 = costas_op.costas_init((C,))
+        return x, tuple(float(v) for v in taps), agc_p, cp, g0, h0, cs0
+
+    def _split(self, x, taps, agc_p, cp, g0, h0, cs0):
+        y, g = agc_op.agc_block_exact(x, g0, agc_p)
+        y, h = fir.fir_block(y, jnp.asarray(taps), h0, method="matmul")
+        y, cs = costas_op.costas_block(y, cs0, cp)
+        return y, g, h, cs
+
+    def test_fused_matches_split(self, rng):
+        from xritdemod_tpu.ops.frontend_pallas import demod_frontend_pallas
+
+        x, taps, agc_p, cp, g0, h0, cs0 = self._setup(rng)
+        y1, g1, h1, cs1 = self._split(x, taps, agc_p, cp, g0, h0, cs0)
+        xT = CF32(x.re.T, x.im.T)
+        yT, g2, h2, cs2 = demod_frontend_pallas(
+            xT, g0, h0, cs0, agc_p, taps, cp, rows=256, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(y1.re), np.asarray(yT.re).T, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(y1.im), np.asarray(yT.im).T, atol=2e-5
+        )
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(h1.re), np.asarray(h2.re), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs1.phase), np.asarray(cs2.phase), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs1.freq), np.asarray(cs2.freq), atol=1e-5
+        )
+
+    def test_fused_state_chains(self, rng):
+        """Two consecutive fused blocks == one double-length block, exactly."""
+        from xritdemod_tpu.ops.frontend_pallas import demod_frontend_pallas
+
+        x, taps, agc_p, cp, g0, h0, cs0 = self._setup(rng, T=2048)
+        xT = CF32(x.re.T, x.im.T)
+        xa = CF32(xT.re[:1024], xT.im[:1024])
+        xb = CF32(xT.re[1024:], xT.im[1024:])
+        run = lambda xi, g, h, cs: demod_frontend_pallas(
+            xi, g, h, cs, agc_p, taps, cp, rows=256, interpret=True
+        )
+        ya, g, h, cs = run(xa, g0, h0, cs0)
+        yb, g, h, cs = run(xb, g, h, cs)
+        yf, gf, hf, csf = run(xT, g0, h0, cs0)
+        np.testing.assert_array_equal(
+            np.asarray(yf.re[1024:]), np.asarray(yb.re)
+        )
+        np.testing.assert_array_equal(np.asarray(gf), np.asarray(g))
+        np.testing.assert_array_equal(np.asarray(hf.re), np.asarray(h.re))
+        np.testing.assert_array_equal(
+            np.asarray(csf.phase), np.asarray(cs.phase)
+        )
+
+    def test_clock_cl_matches_standard(self, rng):
+        """Channels-last clock entry == standard entry, bit for bit."""
+        from xritdemod_tpu.ops import clock_recovery as cr
+        from xritdemod_tpu.ops.clock_pallas import (
+            clock_recovery_block_pallas_batch,
+            clock_recovery_block_pallas_batch_cl,
+        )
+
+        C, T = 128, 1 << 10
+        t = np.arange(T)
+        sig = (
+            np.cos(2 * np.pi * 0.117 * t) * 0.4
+            + rng.normal(0, 0.05, T)
+            + 1j * rng.normal(0, 0.05, T)
+        ).astype(np.complex64)
+        x = CF32(
+            jnp.asarray(np.tile(sig.real, (C, 1)).astype(np.float32)),
+            jnp.asarray(np.tile(sig.imag, (C, 1)).astype(np.float32)),
+        )
+        params = cr.ClockRecoveryParams(4.2534, 3.4e-6, 0.0037, 0.005)
+        ns = cr.max_symbols(T, params)
+        st = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (C,) + a.shape),
+            cr.clock_recovery_init(params, 0.5),
+        )
+        kw = dict(chunk=4, superchunks=2, ct=128, interpret=True)
+        s1, v1, st1 = clock_recovery_block_pallas_batch(x, st, params, ns, **kw)
+        xT = CF32(x.re.T, x.im.T)
+        s2, v2, st2 = clock_recovery_block_pallas_batch_cl(
+            xT, st, params, ns, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(s1.re), np.asarray(s2.re))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_chain_matches_default(self, rng):
+        """block_batch with the fused front-end forced (interpret on CPU)
+        produces the same soft symbols and carried state as the default
+        XLA path, block after block."""
+        from tests.test_demod_chain import make_lrit_signal
+        from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
+
+        C, T = 128, 2048
+        cfg_f = DemodConfig.lrit(sample_rate=1_250_000,
+                                 frontend_kernel="fused")
+        cfg_d = DemodConfig.lrit(sample_rate=1_250_000)
+        sig, _ = make_lrit_signal(rng, 2000, cfg_f)
+        dm_f = Demodulator(cfg_f, block_len=T)
+        dm_d = Demodulator(cfg_d, block_len=T)
+        st_f = dm_f.init_state_batch(C)
+        st_d = dm_d.init_state_batch(C)
+        for b in range(2):
+            x = np.tile(sig[b * T : (b + 1) * T], (C, 1))
+            xc = CF32(jnp.asarray(x.real.astype(np.float32)),
+                      jnp.asarray(x.imag.astype(np.float32)))
+            soft_f, valid_f, st_f = dm_f.block_batch(xc, st_f)
+            soft_d, valid_d, st_d = dm_d.block_batch(xc, st_d)
+            np.testing.assert_array_equal(
+                np.asarray(valid_f), np.asarray(valid_d)
+            )
+            np.testing.assert_allclose(
+                np.asarray(soft_f), np.asarray(soft_d), atol=2e-3
+            )
+        np.testing.assert_allclose(
+            np.asarray(st_f.agc_gain), np.asarray(st_d.agc_gain), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_f.clock.mu), np.asarray(st_d.clock.mu), atol=1e-3
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_f.clock.ii), np.asarray(st_d.clock.ii)
+        )
+
+
 class TestFirMatmul:
     def test_matmul_matches_conv(self, rng):
         from xritdemod_tpu.ops import fir

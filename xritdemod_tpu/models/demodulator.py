@@ -72,6 +72,13 @@ class DemodConfig:
     # the XLA form) whenever running on TPU with channels a multiple of its
     # 128-lane tile, else the XLA kernel; "pallas"/"xla" force either.
     clock_kernel: str = "auto"
+    # Front-end fusion for the batch path: "auto" (default) fuses
+    # AGC + RRC + Costas into ONE channels-last Pallas kernel
+    # (ops/frontend_pallas.py) feeding the channels-last clock entry —
+    # one transpose per block instead of five, one HBM pass instead of
+    # three — whenever the per-stage Pallas kernels would all be chosen;
+    # "fused"/"split" force.  Same math as the split kernels.
+    frontend_kernel: str = "auto"
 
     @classmethod
     def lrit(
@@ -165,6 +172,11 @@ class Demodulator:
         self.num_slots = cr_op.max_symbols(
             block_len // config.decimation, self._clock
         )
+        # Static tuple form of the RRC taps for the fused Pallas front-end
+        # (its banded matrix is built host-side from a hashable key).
+        self._rrc_taps_t = tuple(
+            float(v) for v in np.asarray(self._rrc_taps)
+        )
         self._step = jax.jit(functools.partial(self._block))
 
     def _fir_method(self, n_after_decim: int) -> str:
@@ -241,16 +253,55 @@ class Demodulator:
             )
         else:
             dec_hist = state.dec_hist
+        on_tpu = jax.default_backend() == "tpu"
+        interp = not on_tpu     # forced-Pallas off-TPU runs interpret mode
         C_, T_ = x.re.shape
-        stream_ok = (
-            jax.default_backend() == "tpu" and C_ % 128 == 0 and T_ % 256 == 0
+        stream_ok = on_tpu and C_ % 128 == 0 and T_ % 256 == 0
+        use_fused = cfg.frontend_kernel == "fused" or (
+            cfg.frontend_kernel == "auto"
+            and stream_ok
+            and not cfg.clock_block_update
+            and cfg.agc_kernel in ("auto", "pallas")
+            and cfg.costas_kernel in ("auto", "pallas")
+            and cfg.fir_kernel in ("auto", "matmul")
+            and cfg.clock_kernel in ("auto", "pallas")
         )
+        if use_fused:
+            from xritdemod_tpu.ops.clock_pallas import (
+                clock_recovery_block_pallas_batch_cl,
+            )
+            from xritdemod_tpu.ops.frontend_pallas import (
+                demod_frontend_pallas,
+            )
+
+            xT = CF32(jnp.swapaxes(x.re, 0, 1), jnp.swapaxes(x.im, 0, 1))
+            yT, agc_gain, rrc_hist, costas_state = demod_frontend_pallas(
+                xT, state.agc_gain, state.rrc_hist, state.costas,
+                self._agc, self._rrc_taps_t, self._costas,
+                interpret=interp,
+            )
+            # Interpret mode (CPU tests) uses a tiny chunk geometry — the
+            # production 8x64 unrolls 512 symbol steps, minutes to trace.
+            ckw = dict(chunk=4, superchunks=2) if interp else {}
+            syms, valid, clock_state = clock_recovery_block_pallas_batch_cl(
+                yT, state.clock, self._clock, self.num_slots,
+                interpret=interp, **ckw,
+            )
+            return syms.re, valid, DemodState(
+                dec_hist=dec_hist,
+                agc_gain=agc_gain,
+                rrc_hist=rrc_hist,
+                costas=costas_state,
+                clock=clock_state,
+            )
         if cfg.agc_kernel == "pallas" or (
             cfg.agc_kernel == "auto" and stream_ok
         ):
             from xritdemod_tpu.ops.stream_pallas import agc_block_pallas
 
-            x, agc_gain = agc_block_pallas(x, state.agc_gain, self._agc)
+            x, agc_gain = agc_block_pallas(
+                x, state.agc_gain, self._agc, interpret=interp
+            )
         else:
             x, agc_gain = agc_op.agc_block(x, state.agc_gain, self._agc)
         x, rrc_hist = fir.fir_block(
@@ -263,7 +314,7 @@ class Demodulator:
             from xritdemod_tpu.ops.stream_pallas import costas_block_pallas
 
             x, costas_state = costas_block_pallas(
-                x, state.costas, self._costas
+                x, state.costas, self._costas, interpret=interp
             )
         else:
             x, costas_state = costas_op.costas_block(
@@ -272,7 +323,7 @@ class Demodulator:
         use_pallas = cfg.clock_kernel == "pallas" or (
             cfg.clock_kernel == "auto"
             and not cfg.clock_block_update
-            and jax.default_backend() == "tpu"
+            and on_tpu
             and x.re.shape[0] % 128 == 0
         )
         if use_pallas:
@@ -280,8 +331,10 @@ class Demodulator:
                 clock_recovery_block_pallas_batch,
             )
 
+            ckw = dict(chunk=4, superchunks=2) if interp else {}
             syms, valid, clock_state = clock_recovery_block_pallas_batch(
-                x, state.clock, self._clock, self.num_slots
+                x, state.clock, self._clock, self.num_slots,
+                interpret=interp, **ckw,
             )
         elif cfg.clock_block_update:
             syms, valid, clock_state = cr_op.clock_recovery_block_update_batch(

@@ -51,7 +51,10 @@ from xritdemod_tpu.ops.clock_recovery import (
 )
 from xritdemod_tpu.utils.cplx import CF32
 
-__all__ = ["clock_recovery_block_pallas_batch"]
+__all__ = [
+    "clock_recovery_block_pallas_batch",
+    "clock_recovery_block_pallas_batch_cl",
+]
 
 
 def _r8(v: int) -> int:
@@ -297,29 +300,21 @@ def _mm_kernel(
         o_ref[2:3, :] = c
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("params", "num_slots", "chunk", "superchunks", "ct",
-                     "interpret"),
-)
-def clock_recovery_block_pallas_batch(
-    x: CF32,
+def _clock_pallas_core(
+    xr_T: jax.Array,
+    xi_T: jax.Array,
+    n: int,
     state: ClockRecoveryState,
     params: ClockRecoveryParams,
     num_slots: int,
-    chunk: int = 8,
-    superchunks: int = 64,
-    ct: int | None = None,
-    interpret: bool = False,
-) -> tuple[CF32, jax.Array, ClockRecoveryState]:
-    """Pallas path: drop-in for `clock_recovery_block_batch` (same contract).
-
-    `(C, T)` CF32 in with `(C,)`-leading state; C must be a multiple of the
-    channel tile `ct` (lane width per grid step; None = widest of
-    512/256/128 that divides C — wider tiles amortize the per-symbol loop
-    across more lanes, measured best at 256).
-    """
-    C, T = x.re.shape
+    chunk: int,
+    superchunks: int,
+    ct: int | None,
+    interpret: bool,
+):
+    """Shared kernel launch: channels-last staged input (n+pad rows, C) ->
+    raw channels-last symbol planes + final state vectors."""
+    C = xr_T.shape[-1]
     if ct is None:
         ct = next((w for w in (256, 512, 128) if C % w == 0), 128)
     if C % ct:
@@ -330,19 +325,7 @@ def clock_recovery_block_pallas_batch(
     cols = superchunks * chunk
     num_supers = -(-num_slots // cols)
     out_rows = num_supers * cols
-
-    xr = jnp.concatenate([state.tail.re, x.re], axis=-1)   # (C, n)
-    xi = jnp.concatenate([state.tail.im, x.im], axis=-1)
-    n = xr.shape[-1]
     limit = n - INTERP_TAPS
-    # Channels-last with enough zero rows that any sh8 <= n never clips.
-    pad_rows = SWE8 + 8
-    xr_T = jnp.concatenate(
-        [xr.T, jnp.zeros((pad_rows, C), jnp.float32)], axis=0
-    )
-    xi_T = jnp.concatenate(
-        [xi.T, jnp.zeros((pad_rows, C), jnp.float32)], axis=0
-    )
 
     kernel = functools.partial(
         _mm_kernel,
@@ -417,6 +400,10 @@ def clock_recovery_block_pallas_batch(
         jnp.swapaxes(state.c.re, 0, 1),
         jnp.swapaxes(state.c.im, 0, 1),
     )
+    return outs
+
+
+def _clock_state_from_outs(outs, n: int, num_slots: int, tail: CF32):
     sr, si, vd, mu, om, ii, pr, pim, cre, cim = outs
     sr = sr.T[:, :num_slots]
     si = si.T[:, :num_slots]
@@ -427,6 +414,95 @@ def clock_recovery_block_pallas_batch(
         ii=ii[0] - (n - NTAIL),
         p=CF32(jnp.swapaxes(pr, 0, 1), jnp.swapaxes(pim, 0, 1)),
         c=CF32(jnp.swapaxes(cre, 0, 1), jnp.swapaxes(cim, 0, 1)),
-    tail=CF32(xr[:, -NTAIL:], xi[:, -NTAIL:]),
+        tail=tail,
     )
     return CF32(sr, si), valid, new_state
+
+
+def _pad_rows(params, chunk, superchunks, num_slots) -> int:
+    # Enough zero rows past the data that any sh8 <= n window never clips.
+    SWE8 = _geometry(params, chunk, superchunks, num_slots)[7]
+    return SWE8 + 8
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "num_slots", "chunk", "superchunks", "ct",
+                     "interpret"),
+)
+def clock_recovery_block_pallas_batch(
+    x: CF32,
+    state: ClockRecoveryState,
+    params: ClockRecoveryParams,
+    num_slots: int,
+    chunk: int = 8,
+    superchunks: int = 64,
+    ct: int | None = None,
+    interpret: bool = False,
+) -> tuple[CF32, jax.Array, ClockRecoveryState]:
+    """Pallas path: drop-in for `clock_recovery_block_batch` (same contract).
+
+    `(C, T)` CF32 in with `(C,)`-leading state; C must be a multiple of the
+    channel tile `ct` (lane width per grid step; None = widest of
+    512/256/128 that divides C — wider tiles amortize the per-symbol loop
+    across more lanes, measured best at 256).
+    """
+    C, T = x.re.shape
+    xr = jnp.concatenate([state.tail.re, x.re], axis=-1)   # (C, n)
+    xi = jnp.concatenate([state.tail.im, x.im], axis=-1)
+    n = xr.shape[-1]
+    pad = _pad_rows(params, chunk, superchunks, num_slots)
+    xr_T = jnp.concatenate(
+        [xr.T, jnp.zeros((pad, C), jnp.float32)], axis=0
+    )
+    xi_T = jnp.concatenate(
+        [xi.T, jnp.zeros((pad, C), jnp.float32)], axis=0
+    )
+    outs = _clock_pallas_core(
+        xr_T, xi_T, n, state, params, num_slots, chunk, superchunks, ct,
+        interpret,
+    )
+    tail = CF32(xr[:, -NTAIL:], xi[:, -NTAIL:])
+    return _clock_state_from_outs(outs, n, num_slots, tail)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "num_slots", "chunk", "superchunks", "ct",
+                     "interpret"),
+)
+def clock_recovery_block_pallas_batch_cl(
+    x: CF32,
+    state: ClockRecoveryState,
+    params: ClockRecoveryParams,
+    num_slots: int,
+    chunk: int = 8,
+    superchunks: int = 64,
+    ct: int | None = None,
+    interpret: bool = False,
+) -> tuple[CF32, jax.Array, ClockRecoveryState]:
+    """Channels-last variant: `(T, C)` CF32 input (e.g. straight from the
+    fused front-end kernel, ops/frontend_pallas.py) — the big block is
+    staged without the `(C, T)` -> channels-last transpose the standard
+    entry performs.  State layouts and outputs are identical to
+    `clock_recovery_block_pallas_batch` (symbols come back `(C, S)`)."""
+    T, C = x.re.shape
+    n = T + NTAIL
+    pad = _pad_rows(params, chunk, superchunks, num_slots)
+    xr_T = jnp.concatenate(
+        [jnp.swapaxes(state.tail.re, 0, 1), x.re,
+         jnp.zeros((pad, C), jnp.float32)], axis=0
+    )
+    xi_T = jnp.concatenate(
+        [jnp.swapaxes(state.tail.im, 0, 1), x.im,
+         jnp.zeros((pad, C), jnp.float32)], axis=0
+    )
+    outs = _clock_pallas_core(
+        xr_T, xi_T, n, state, params, num_slots, chunk, superchunks, ct,
+        interpret,
+    )
+    tail = CF32(
+        jnp.swapaxes(xr_T[n - NTAIL : n], 0, 1),
+        jnp.swapaxes(xi_T[n - NTAIL : n], 0, 1),
+    )
+    return _clock_state_from_outs(outs, n, num_slots, tail)
