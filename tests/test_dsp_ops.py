@@ -301,6 +301,69 @@ class TestClockPallas:
             np.asarray(s_ex.re), np.asarray(s_pl.re), atol=1e-6
         )
 
+    def test_block_update_pallas_matches_xla(self, rng):
+        """The fused block-update branch (interpret mode) reproduces the
+        XLA block-update kernel: same trajectory, same symbols."""
+        import jax
+
+        from xritdemod_tpu.models.demodulator import DemodConfig
+        from xritdemod_tpu.ops import clock_recovery as cr
+        from xritdemod_tpu.ops.clock_pallas import (
+            clock_recovery_block_pallas_batch,
+        )
+        from xritdemod_tpu.utils.cplx import CF32
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        T, C = 1 << 10, 128
+        t = np.arange(T)
+        sig = (
+            np.cos(2 * np.pi * 0.117 * t) * 0.4
+            + rng.normal(0, 0.05, T)
+            + 1j * rng.normal(0, 0.05, T)
+        ).astype(np.complex64)
+        x = CF32(
+            jnp.asarray(np.tile(sig.real, (C, 1)).astype(np.float32)),
+            jnp.asarray(np.tile(sig.imag, (C, 1)).astype(np.float32)),
+        )
+        params = cr.ClockRecoveryParams(
+            cfg.sps,
+            cfg.clock_alpha**2 / 4,
+            cfg.clock_alpha,
+            cfg.clock_omega_limit,
+        )
+        ns = cr.max_symbols(T, params)
+        st = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (C,) + a.shape),
+            cr.clock_recovery_init(params, cfg.clock_mu),
+        )
+        s_x, v_x, st_x = cr.clock_recovery_block_update_batch(
+            x, st, params, ns, chunk=4, superchunks=2
+        )
+        s_p, v_p, st_p = clock_recovery_block_pallas_batch(
+            x, st, params, ns, chunk=4, superchunks=2, ct=128,
+            interpret=True, block_update=True,
+        )
+        np.testing.assert_array_equal(np.asarray(v_x), np.asarray(v_p))
+        np.testing.assert_array_equal(
+            np.asarray(st_x.ii), np.asarray(st_p.ii)
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_x.mu), np.asarray(st_p.mu), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_x.omega), np.asarray(st_p.omega), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_x.re), np.asarray(s_p.re), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_x.im), np.asarray(s_p.im), atol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(st_x.p), jax.tree.leaves(st_p.p)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
+
 
 class TestStreamPallas:
     """Pallas sequential AGC/Costas kernels (interpret mode) vs the exact
@@ -512,6 +575,41 @@ class TestFrontendPallas:
         np.testing.assert_allclose(
             np.asarray(st_f.clock.mu), np.asarray(st_d.clock.mu), atol=1e-3
         )
+        np.testing.assert_array_equal(
+            np.asarray(st_f.clock.ii), np.asarray(st_d.clock.ii)
+        )
+
+    def test_fused_block_update_chain_matches_xla_bu(self, rng):
+        """Fused front-end + Pallas block-update clock (forced, interpret)
+        == XLA path with the XLA block-update kernel at the same K."""
+        from tests.test_demod_chain import make_lrit_signal
+        from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
+
+        C, T = 128, 2048
+        K = 4
+        cfg_f = DemodConfig.lrit(sample_rate=1_250_000,
+                                 frontend_kernel="fused",
+                                 clock_kernel="pallas",
+                                 clock_block_update=K)
+        cfg_d = DemodConfig.lrit(sample_rate=1_250_000,
+                                 clock_block_update=K)
+        sig, _ = make_lrit_signal(rng, 2000, cfg_f)
+        dm_f = Demodulator(cfg_f, block_len=T)
+        dm_d = Demodulator(cfg_d, block_len=T)
+        st_f = dm_f.init_state_batch(C)
+        st_d = dm_d.init_state_batch(C)
+        for b in range(2):
+            x = np.tile(sig[b * T : (b + 1) * T], (C, 1))
+            xc = CF32(jnp.asarray(x.real.astype(np.float32)),
+                      jnp.asarray(x.imag.astype(np.float32)))
+            soft_f, valid_f, st_f = dm_f.block_batch(xc, st_f)
+            soft_d, valid_d, st_d = dm_d.block_batch(xc, st_d)
+            np.testing.assert_array_equal(
+                np.asarray(valid_f), np.asarray(valid_d)
+            )
+            np.testing.assert_allclose(
+                np.asarray(soft_f), np.asarray(soft_d), atol=2e-3
+            )
         np.testing.assert_array_equal(
             np.asarray(st_f.clock.ii), np.asarray(st_d.clock.ii)
         )

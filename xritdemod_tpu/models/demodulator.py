@@ -179,6 +179,23 @@ class Demodulator:
         )
         self._step = jax.jit(functools.partial(self._block))
 
+    def _clock_pallas_kw(self, interp: bool) -> dict:
+        """Pallas clock-kernel launch options for the batch path.
+
+        `clock_block_update=K` selects the frozen-clock K-symbol block
+        update fused in the kernel (chunk=K); interpret mode (CPU tests)
+        shrinks the geometry — the production 8x64 unrolls 512 symbol
+        steps and takes minutes to trace op-by-op.
+        """
+        K = self.config.clock_block_update
+        kw = {}
+        if K:
+            kw.update(block_update=True, chunk=K,
+                      superchunks=max(2, 512 // K))
+        if interp:
+            kw.update(chunk=min(4, K) if K else 4, superchunks=2)
+        return kw
+
     def _fir_method(self, n_after_decim: int) -> str:
         cfg = self.config
         if cfg.fir_kernel != "auto":
@@ -260,7 +277,6 @@ class Demodulator:
         use_fused = cfg.frontend_kernel == "fused" or (
             cfg.frontend_kernel == "auto"
             and stream_ok
-            and not cfg.clock_block_update
             and cfg.agc_kernel in ("auto", "pallas")
             and cfg.costas_kernel in ("auto", "pallas")
             and cfg.fir_kernel in ("auto", "matmul")
@@ -280,12 +296,9 @@ class Demodulator:
                 self._agc, self._rrc_taps_t, self._costas,
                 interpret=interp,
             )
-            # Interpret mode (CPU tests) uses a tiny chunk geometry — the
-            # production 8x64 unrolls 512 symbol steps, minutes to trace.
-            ckw = dict(chunk=4, superchunks=2) if interp else {}
             syms, valid, clock_state = clock_recovery_block_pallas_batch_cl(
                 yT, state.clock, self._clock, self.num_slots,
-                interpret=interp, **ckw,
+                interpret=interp, **self._clock_pallas_kw(interp),
             )
             return syms.re, valid, DemodState(
                 dec_hist=dec_hist,
@@ -322,7 +335,6 @@ class Demodulator:
             )
         use_pallas = cfg.clock_kernel == "pallas" or (
             cfg.clock_kernel == "auto"
-            and not cfg.clock_block_update
             and on_tpu
             and x.re.shape[0] % 128 == 0
         )
@@ -331,10 +343,9 @@ class Demodulator:
                 clock_recovery_block_pallas_batch,
             )
 
-            ckw = dict(chunk=4, superchunks=2) if interp else {}
             syms, valid, clock_state = clock_recovery_block_pallas_batch(
                 x, state.clock, self._clock, self.num_slots,
-                interpret=interp, **ckw,
+                interpret=interp, **self._clock_pallas_kw(interp),
             )
         elif cfg.clock_block_update:
             syms, valid, clock_state = cr_op.clock_recovery_block_update_batch(

@@ -94,7 +94,7 @@ def _mm_kernel(
     # scratch
     win_r, win_i, ob_r, ob_i, ob_v, in_sem, out_sem,
     *, CT, num_supers, chunk, superchunks, w08, a0, RELMAX, CW, SL, SW8,
-    spread, SWE8, limit, params: ClockRecoveryParams,
+    spread, SWE8, limit, params: ClockRecoveryParams, block_update=False,
 ):
     omega_mid = jnp.float32(params.omega)
     omega_lim = jnp.float32(params.omega * params.omega_relative_limit)
@@ -178,6 +178,110 @@ def _mm_kernel(
             CW0 = chunk * (a0 + 1) + INTERP_TAPS
             cw_r = cw_r[:CW0]
             cw_i = cw_i[:CW0]
+
+            if block_update:
+                # Frozen-clock block update: positions pos_j = mu + j*omega
+                # for the whole K=chunk-symbol chunk are known upfront, so
+                # the K dense masked interpolations carry no per-symbol
+                # dependency (no shift chain), and the M&M loop filter
+                # becomes a parallel cumsum over the K errors — the exact
+                # algorithm of clock_recovery.clock_recovery_block_update_
+                # batch (same approximation; K=1 degenerates to the exact
+                # kernel).
+                w_iota = jax.lax.broadcasted_iota(jnp.int32, (CW0, CT), 0)
+                wf = w_iota.astype(jnp.float32)
+                AW = jnp.cos(jnp.float32(math.pi / 4.0) * wf)
+                BW = jnp.sin(jnp.float32(math.pi / 4.0) * wf)
+                SGNW = 1.0 - 2.0 * (wf % 2.0)             # (-1)^w
+                p0rs, p0is, c0rs, c0is, vs = [], [], [], [], []
+                for j in range(chunk):
+                    posj = mu + jnp.float32(j) * om       # (1, CT)
+                    ilf = jnp.floor(posj)
+                    fr = posj - ilf
+                    il = ilf.astype(jnp.int32)
+                    vs.append(ii + il < limit)
+                    # Taps via angle addition: u = w - il - 3 - fr;
+                    #   sin(pi u)   = (-1)^w (-1)^il sin(pi fr)
+                    #   cos(pi u/4) = cos(pi w/4) cos(a) + sin(pi w/4) sin(a)
+                    #                 with a = pi/4 (il + 3 + fr)
+                    sgn_il = 1.0 - 2.0 * (ilf % 2.0)
+                    sin_fr = jnp.sin(pi_c * fr) * sgn_il  # (1, CT)
+                    av = (ilf + 3.0 + fr) * jnp.float32(math.pi / 4.0)
+                    cos_a = jnp.cos(av)
+                    sin_a = jnp.sin(av)
+                    u = wf - ilf - 3.0 - fr               # (CW0, CT)
+                    in_tap = (w_iota >= il) & (w_iota < il + INTERP_TAPS)
+                    wwin = 0.54 + 0.46 * (AW * cos_a + BW * sin_a)
+                    sinc = jnp.where(
+                        u == 0.0, 1.0, SGNW * sin_fr / (pi_c * u)
+                    )
+                    t = jnp.where(in_tap, sinc * wwin, 0.0)
+                    tsum = jnp.sum(t, axis=0, keepdims=True)
+                    p0r = jnp.sum(cw_r * t, axis=0, keepdims=True) / tsum
+                    p0i = jnp.sum(cw_i * t, axis=0, keepdims=True) / tsum
+                    p0rs.append(p0r)
+                    p0is.append(p0i)
+                    c0rs.append(jnp.where(p0r > 0, 1.0, 0.0))
+                    c0is.append(jnp.where(p0i > 0, 1.0, 0.0))
+
+                # ext[j] = 3-back of symbol j; ext[j+1] = 2-back.
+                ext_pr = [p3r, p2r, p1r] + p0rs
+                ext_pi = [p3i, p2i, p1i] + p0is
+                ext_cr = [c3r, c2r, c1r] + c0rs
+                ext_ci = [c3i, c2i, c1i] + c0is
+                es, om_js = [], []
+                cum = jnp.zeros_like(mu)
+                for j in range(chunk):
+                    e = (
+                        (p0rs[j] - ext_pr[j]) * ext_cr[j + 1]
+                        + (p0is[j] - ext_pi[j]) * ext_ci[j + 1]
+                        - (
+                            (c0rs[j] - ext_cr[j]) * ext_pr[j + 1]
+                            + (c0is[j] - ext_ci[j]) * ext_pi[j + 1]
+                        )
+                    )
+                    e = jnp.where(vs[j], jnp.clip(e, -1.0, 1.0), 0.0)
+                    es.append(e)
+                    cum = cum + e
+                    dom = jnp.clip(
+                        (om - omega_mid) + gain_omega * cum,
+                        -omega_lim, omega_lim,
+                    )
+                    om_js.append(omega_mid + dom)
+
+                adv = jnp.zeros_like(mu)
+                nvalid = jnp.zeros_like(ii)
+                for j in range(chunk):
+                    adv = adv + jnp.where(
+                        vs[j], om_js[j] + gain_mu * es[j], 0.0
+                    )
+                    nvalid = nvalid + vs[j].astype(jnp.int32)
+                    col = m * chunk + j
+                    ob_r[col : col + 1, :] = jnp.where(vs[j], p0rs[j], 0.0)
+                    ob_i[col : col + 1, :] = jnp.where(vs[j], p0is[j], 0.0)
+                    ob_v[col : col + 1, :] = jnp.where(vs[j], 1.0, 0.0)
+                pos_end = mu + adv
+                ifl = jnp.floor(pos_end)
+                mu = pos_end - ifl
+                ii = ii + ifl.astype(jnp.int32)
+                for j in range(chunk):
+                    om = jnp.where(nvalid == j + 1, om_js[j], om)
+
+                # Histories = the last three valid symbols (validity is
+                # monotone in j): ext[nvalid + 2 - d] for d = 0, 1, 2.
+                def _sel(ext, d):
+                    h = ext[2 - d]
+                    for j in range(1, chunk + 1):
+                        h = jnp.where(nvalid == j, ext[j + 2 - d], h)
+                    return h
+
+                p1r, p2r, p3r = _sel(ext_pr, 0), _sel(ext_pr, 1), _sel(ext_pr, 2)
+                p1i, p2i, p3i = _sel(ext_pi, 0), _sel(ext_pi, 1), _sel(ext_pi, 2)
+                c1r, c2r, c3r = _sel(ext_cr, 0), _sel(ext_cr, 1), _sel(ext_cr, 2)
+                c1i, c2i, c3i = _sel(ext_ci, 0), _sel(ext_ci, 1), _sel(ext_ci, 2)
+                state = (mu, om, ii, p1r, p2r, p3r, p1i, p2i, p3i,
+                         c1r, c2r, c3r, c1i, c2i, c3i)
+                continue
 
             for j in range(chunk):
                 valid = ii < limit                       # (1, CT)
@@ -311,6 +415,7 @@ def _clock_pallas_core(
     superchunks: int,
     ct: int | None,
     interpret: bool,
+    block_update: bool = False,
 ):
     """Shared kernel launch: channels-last staged input (n+pad rows, C) ->
     raw channels-last symbol planes + final state vectors."""
@@ -343,6 +448,7 @@ def _clock_pallas_core(
         SWE8=SWE8,
         limit=limit,
         params=params,
+        block_update=block_update,
     )
     f32 = jnp.float32
     grid = (C // ct,)
@@ -350,7 +456,7 @@ def _clock_pallas_core(
                                memory_space=pltpu.VMEM)
     hist = lambda: pl.BlockSpec((3, ct), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -428,7 +534,7 @@ def _pad_rows(params, chunk, superchunks, num_slots) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("params", "num_slots", "chunk", "superchunks", "ct",
-                     "interpret"),
+                     "interpret", "block_update"),
 )
 def clock_recovery_block_pallas_batch(
     x: CF32,
@@ -439,8 +545,14 @@ def clock_recovery_block_pallas_batch(
     superchunks: int = 64,
     ct: int | None = None,
     interpret: bool = False,
+    block_update: bool = False,
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Pallas path: drop-in for `clock_recovery_block_batch` (same contract).
+
+    `block_update=True` switches the inner loop to the frozen-clock
+    K=chunk-symbol block update (the algorithm of `clock_recovery_block_
+    update_batch` fused on-chip: parallel interpolation + cumsum loop
+    filter; ~no sequential per-symbol chain).
 
     `(C, T)` CF32 in with `(C,)`-leading state; C must be a multiple of the
     channel tile `ct` (lane width per grid step; None = widest of
@@ -460,7 +572,7 @@ def clock_recovery_block_pallas_batch(
     )
     outs = _clock_pallas_core(
         xr_T, xi_T, n, state, params, num_slots, chunk, superchunks, ct,
-        interpret,
+        interpret, block_update,
     )
     tail = CF32(xr[:, -NTAIL:], xi[:, -NTAIL:])
     return _clock_state_from_outs(outs, n, num_slots, tail)
@@ -469,7 +581,7 @@ def clock_recovery_block_pallas_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("params", "num_slots", "chunk", "superchunks", "ct",
-                     "interpret"),
+                     "interpret", "block_update"),
 )
 def clock_recovery_block_pallas_batch_cl(
     x: CF32,
@@ -480,6 +592,7 @@ def clock_recovery_block_pallas_batch_cl(
     superchunks: int = 64,
     ct: int | None = None,
     interpret: bool = False,
+    block_update: bool = False,
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Channels-last variant: `(T, C)` CF32 input (e.g. straight from the
     fused front-end kernel, ops/frontend_pallas.py) — the big block is
@@ -499,7 +612,7 @@ def clock_recovery_block_pallas_batch_cl(
     )
     outs = _clock_pallas_core(
         xr_T, xi_T, n, state, params, num_slots, chunk, superchunks, ct,
-        interpret,
+        interpret, block_update,
     )
     tail = CF32(
         jnp.swapaxes(xr_T[n - NTAIL : n], 0, 1),
