@@ -139,3 +139,53 @@ class TestTimeBlocks:
             agree = max((got[:n] == w[:n]).mean(), (got[:n] != w[:n]).mean())
             best = max(best, agree)
         assert best > 0.98, f"agreement {best}"
+
+
+class TestFoldedCapture:
+    def test_folded_capture_zero_frame_loss(self, rng):
+        """One long TX capture reprocessed fold-parallel recovers EVERY
+        frame bit-exactly, with seam duplicates removed."""
+        from xritdemod_tpu import tx
+        from xritdemod_tpu.models.demodulator import DemodConfig
+        from xritdemod_tpu.parallel.timeblocks import FoldedCaptureReceiver
+        from xritdemod_tpu.ops import filters
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        nframes = 12
+        vcdus = tx.make_vcdus(nframes, scid=13, vcid=5, rng=rng)
+        symbols = tx.encode_stream(vcdus, lrit=True)
+
+        sps = cfg.sps
+        os_factor = 4
+        ntaps = 127
+        nsym = len(symbols)
+        fine_len = int(nsym * sps * os_factor) + ntaps * os_factor
+        impulses = np.zeros(fine_len)
+        pos = (np.arange(nsym) * sps * os_factor).astype(np.int64)
+        impulses[pos] = symbols
+        fine_rate = cfg.circuit_sample_rate * os_factor
+        rc = filters.rrc_taps(
+            1.0, fine_rate, cfg.symbol_rate, cfg.rrc_alpha, ntaps * os_factor
+        )
+        shaped = np.convolve(
+            impulses, rc.astype(np.float64) * os_factor, mode="same"
+        )
+        sig = shaped[::os_factor].astype(np.complex128)
+        n = np.arange(len(sig))
+        sig = sig * np.exp(1j * (2 * np.pi * 1e-4 * n + 0.4)) * 0.3
+        sig += (
+            rng.normal(size=len(sig)) + 1j * rng.normal(size=len(sig))
+        ) * 0.01
+
+        rx = FoldedCaptureReceiver(
+            cfg, folds=2, block_len=1 << 16, frames_per_block=4
+        )
+        got = rx.process(sig.astype(np.complex64))
+
+        sent = {bytes(v) for v in vcdus}
+        assert len(got) == nframes, f"recovered {len(got)}/{nframes}"
+        counters = [g[2] for g in got]
+        assert counters == sorted(counters)
+        for scid, vcid, ctr, v in got:
+            assert (scid, vcid) == (13, 5)
+            assert v in sent

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
 from xritdemod_tpu.utils.cplx import CF32
 
-__all__ = ["TimeBlockDemodulator"]
+__all__ = ["TimeBlockDemodulator", "FoldedCaptureReceiver"]
 
 
 class TimeBlockDemodulator:
@@ -118,3 +118,123 @@ class TimeBlockDemodulator:
             x.im.reshape(self.n_devices, self.block_len), self._x_sharding
         )
         return self._step((xr, xi))
+
+
+class FoldedCaptureReceiver:
+    """Single-chip bulk reprocessing of ONE long recorded capture at
+    channel-batch speed: the fold-parallel analog of TimeBlockDemodulator.
+
+    The reference replays a capture strictly serially at whatever rate one
+    core sustains (CFileFrontend.cpp:33-62 paces it to *real time*).  Here
+    the capture is folded into `folds` overlapping time segments that run
+    through the batched demod chain as if they were independent channels —
+    so one chip applies its full channel-parallel throughput (the Pallas
+    front-end + clock kernels at folds % 128 == 0) to a single stream.
+
+    Correctness at the fold seams: each fold (after the first) starts
+    `overlap` samples inside its left neighbour's segment, where
+    `overlap >= warmup + 2 coded-frame spans`.  The warmup re-locks the
+    feedback loops (AGC/Costas/M&M) from cold exactly as the reference
+    re-locks after any stream gap; the remaining >= 2 frame spans are
+    decoded by BOTH neighbouring folds, and the duplicates are dropped by
+    (vcid, counter) identity — so no frame is lost at a seam as long as
+    re-lock succeeds within the warmup (guaranteed by the loop bandwidths:
+    O(1/alpha) ~ 3k samples; default warmup 16384).
+
+    Per-fold symbol streams are decoded by independent StreamDecoders
+    (each re-acquires frame sync from its own junk-prefixed stream, the
+    always-on correlator replacing the reference's flywheel).
+    """
+
+    def __init__(
+        self,
+        config: DemodConfig,
+        folds: int = 128,
+        block_len: int = 1 << 17,
+        warmup: int = 16384,
+        frames_per_block: int = 32,
+        mode: str | None = None,
+    ):
+        from xritdemod_tpu import constants as C
+        from xritdemod_tpu.models.decoder import DecoderConfig
+
+        if config.decimation != 1:
+            raise NotImplementedError(
+                "capture folding currently assumes decimation == 1"
+            )
+        self.config = config
+        self.folds = folds
+        self.block_len = block_len
+        self.warmup = warmup
+        if mode is None:
+            mode = "lrit" if config.symbol_rate == C.LRIT_SYMBOL_RATE else "hrit"
+        self.mode = mode
+        self._dec_cfg = DecoderConfig(
+            mode=mode, frames_per_block=frames_per_block
+        )
+        frame_span = int(C.CODED_FRAME_SIZE * config.sps) + 1
+        self.overlap = warmup + 2 * frame_span
+        self._demod = Demodulator(config, block_len=block_len)
+
+    def process(self, x: "np.ndarray") -> list[tuple[int, int, int, bytes]]:
+        """complex64 capture -> deduplicated (scid, vcid, counter, vcdu)
+        in stream order."""
+        import numpy as np
+
+        from xritdemod_tpu.models.decoder import StreamDecoder
+
+        x = np.asarray(x, np.complex64)
+        N = len(x)
+        F, T = self.folds, self.block_len
+        # Segment length per fold (ceil), then pad fold windows to blocks.
+        seg = -(-N // F)
+        L = seg + self.overlap
+        nblocks = -(-L // T)
+        starts = np.arange(F, dtype=np.int64) * seg - self.overlap
+
+        state = self._demod.init_state_batch(F)
+        decoders = [StreamDecoder(self._dec_cfg) for _ in range(F)]
+        batches: list[list] = [[] for _ in range(F)]
+
+        buf = np.zeros((F, T), np.complex64)
+        for j in range(nblocks):
+            buf[:] = 0
+            for f in range(F):
+                s0 = starts[f] + j * T
+                s1 = s0 + T
+                c0, c1 = max(s0, 0), min(s1, N)
+                if c1 > c0:
+                    buf[f, c0 - s0 : c1 - s0] = x[c0:c1]
+            xc = CF32(
+                jnp.asarray(buf.real.copy()), jnp.asarray(buf.imag.copy())
+            )
+            soft, valid, state = self._demod.block_batch(xc, state)
+            soft_h = np.asarray(soft)
+            valid_h = np.asarray(valid)
+            for f in range(F):
+                batches[f].append(
+                    decoders[f].push(soft_h[f][valid_h[f]])
+                )
+        out: list[tuple[int, int, int, bytes]] = []
+        seen: set[tuple[int, int]] = set()
+        for f in range(F):
+            batches[f].append(decoders[f].flush())
+            for blist in batches[f]:
+                for b in blist:
+                    ok = np.asarray(b.frame_ok)
+                    vcid = np.asarray(b.vcid)
+                    ctr = np.asarray(b.counter)
+                    scid = np.asarray(b.scid)
+                    vcdu = np.asarray(b.vcdu)
+                    for i in range(len(ok)):
+                        if not ok[i]:
+                            continue
+                        key = (int(vcid[i]), int(ctr[i]))
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        out.append(
+                            (int(scid[i]), int(vcid[i]), int(ctr[i]),
+                             bytes(vcdu[i]))
+                        )
+        return out
