@@ -165,3 +165,61 @@ class TestBlockUpdateClock:
         sent = {bytes(v) for v in vcdus}
         for v in got:
             assert bytes(v) in sent
+
+    def test_frontend_k8_chain_decodes_bit_exact(self, rng):
+        """RF in -> demod with the K-row blocked front-end (AGC affine
+        prefix + frozen-ramp Costas, frontend_block_update=8) -> decode:
+        VCDU payloads bit-exact."""
+        from xritdemod_tpu import tx
+        from xritdemod_tpu.models.decoder import DecoderConfig, StreamDecoder
+        from xritdemod_tpu.parallel.channels import ChannelDemodulator
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000,
+                               frontend_block_update=8)
+        nframes = 6
+        vcdus = tx.make_vcdus(nframes, scid=13, vcid=5, rng=rng)
+        symbols = tx.encode_stream(vcdus, lrit=True)
+
+        sps = cfg.sps
+        os_factor = 4
+        ntaps = 127
+        nsym = len(symbols)
+        fine_len = int(nsym * sps * os_factor) + ntaps * os_factor
+        impulses = np.zeros(fine_len)
+        pos = (np.arange(nsym) * sps * os_factor).astype(np.int64)
+        impulses[pos] = symbols
+        fine_rate = cfg.circuit_sample_rate * os_factor
+        rc = filters.rrc_taps(
+            1.0, fine_rate, cfg.symbol_rate, cfg.rrc_alpha, ntaps * os_factor
+        )
+        shaped = np.convolve(
+            impulses, rc.astype(np.float64) * os_factor, mode="same"
+        )
+        sig = shaped[::os_factor].astype(np.complex128)
+        n = np.arange(len(sig))
+        sig = sig * np.exp(1j * (2 * np.pi * 1e-4 * n + 0.4)) * 0.3
+        sig += (
+            rng.normal(size=len(sig)) + 1j * rng.normal(size=len(sig))
+        ) * 0.01
+        sig = sig.astype(np.complex64)
+
+        C, T = 2, 1 << 16
+        demod = ChannelDemodulator(cfg, channels=C, block_len=T)
+        state = demod.init_state()
+        dec = StreamDecoder(DecoderConfig(mode="lrit", frames_per_block=2))
+        got = []
+        for b in range(len(sig) // T):
+            x = self._batch(sig[b * T : (b + 1) * T], C)
+            soft, valid, state = demod.process(x, state)
+            s0 = np.asarray(soft[0])[np.asarray(valid[0])]
+            for batch in dec.push(s0):
+                ok = np.asarray(batch.frame_ok)
+                got.extend(np.asarray(batch.vcdu)[ok])
+        for batch in dec.flush():
+            ok = np.asarray(batch.frame_ok)
+            got.extend(np.asarray(batch.vcdu)[ok])
+
+        assert len(got) >= nframes - 2
+        sent = {bytes(v) for v in vcdus}
+        for v in got:
+            assert bytes(v) in sent

@@ -614,6 +614,128 @@ class TestFrontendPallas:
             np.asarray(st_f.clock.ii), np.asarray(st_d.clock.ii)
         )
 
+    def test_fused_chain_matches_default_hrit(self, rng):
+        """HRIT operating point (sps ~3.236 — different clock/pad
+        geometry): fused path == split XLA path."""
+        from tests.test_demod_chain import make_lrit_signal
+        from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
+
+        C, T = 128, 2048
+        cfg_f = DemodConfig.hrit(sample_rate=3_000_000,
+                                 frontend_kernel="fused",
+                                 clock_kernel="pallas")
+        cfg_d = DemodConfig.hrit(sample_rate=3_000_000)
+        sig, _ = make_lrit_signal(rng, 2000, cfg_f)
+        dm_f = Demodulator(cfg_f, block_len=T)
+        dm_d = Demodulator(cfg_d, block_len=T)
+        st_f = dm_f.init_state_batch(C)
+        st_d = dm_d.init_state_batch(C)
+        for b in range(2):
+            x = np.tile(sig[b * T : (b + 1) * T], (C, 1))
+            xc = CF32(jnp.asarray(x.real.astype(np.float32)),
+                      jnp.asarray(x.imag.astype(np.float32)))
+            soft_f, valid_f, st_f = dm_f.block_batch(xc, st_f)
+            soft_d, valid_d, st_d = dm_d.block_batch(xc, st_d)
+            np.testing.assert_array_equal(
+                np.asarray(valid_f), np.asarray(valid_d)
+            )
+            np.testing.assert_allclose(
+                np.asarray(soft_f), np.asarray(soft_d), atol=2e-3
+            )
+        np.testing.assert_array_equal(
+            np.asarray(st_f.clock.ii), np.asarray(st_d.clock.ii)
+        )
+
+    def test_costas_block_update_k1_exact(self, rng):
+        """costas_block_update degenerates to the exact recursion at K=1
+        (the composed update equals one GR control_loop step when the
+        freq clip doesn't bind)."""
+        C, T = 4, 1024
+        x = CF32(
+            jnp.asarray(rng.normal(0, 0.4, (C, T)).astype(np.float32)),
+            jnp.asarray(rng.normal(0, 0.4, (C, T)).astype(np.float32)),
+        )
+        cp = costas_op.costas_gains(0.0037)
+        cs0 = costas_op.costas_init((C,))
+        y1, cs1 = costas_op.costas_block(x, cs0, cp)
+        y2, cs2 = costas_op.costas_block_update(x, cs0, cp, chunk=1)
+        np.testing.assert_allclose(
+            np.asarray(y1.re), np.asarray(y2.re), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs1.phase), np.asarray(cs2.phase), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs1.freq), np.asarray(cs2.freq), atol=1e-7
+        )
+
+    def test_fused_blocked_frontend_matches_xla_twin(self, rng):
+        """Fused kernel with block_k=K (interpret) == the XLA twin chain:
+        affine-scan AGC + matmul FIR + costas_block_update(K)."""
+        from xritdemod_tpu.ops.frontend_pallas import demod_frontend_pallas
+
+        K = 4
+        x, taps, agc_p, cp, g0, h0, cs0 = self._setup(rng)
+        y1, g1 = agc_op.agc_block(x, g0, agc_p)
+        y1, h1 = fir.fir_block(y1, jnp.asarray(taps), h0, method="matmul")
+        y1, cs1 = costas_op.costas_block_update(y1, cs0, cp, chunk=K)
+        xT = CF32(x.re.T, x.im.T)
+        yT, g2, h2, cs2 = demod_frontend_pallas(
+            xT, g0, h0, cs0, agc_p, taps, cp, rows=256, interpret=True,
+            block_k=K,
+        )
+        np.testing.assert_allclose(
+            np.asarray(y1.re), np.asarray(yT.re).T, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(y1.im), np.asarray(yT.im).T, atol=2e-5
+        )
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(h1.re), np.asarray(h2.re), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs1.phase), np.asarray(cs2.phase), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs1.freq), np.asarray(cs2.freq), atol=1e-5
+        )
+
+    def test_fused_blocked_chain_matches_split_blocked(self, rng):
+        """block_batch: fused front-end with frontend_block_update=K ==
+        the split XLA path with the same K, block after block."""
+        from tests.test_demod_chain import make_lrit_signal
+        from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
+
+        C, T = 128, 2048
+        K = 8
+        cfg_f = DemodConfig.lrit(sample_rate=1_250_000,
+                                 frontend_kernel="fused",
+                                 clock_kernel="pallas",
+                                 frontend_block_update=K)
+        cfg_d = DemodConfig.lrit(sample_rate=1_250_000,
+                                 frontend_block_update=K)
+        sig, _ = make_lrit_signal(rng, 2000, cfg_f)
+        dm_f = Demodulator(cfg_f, block_len=T)
+        dm_d = Demodulator(cfg_d, block_len=T)
+        st_f = dm_f.init_state_batch(C)
+        st_d = dm_d.init_state_batch(C)
+        for b in range(2):
+            x = np.tile(sig[b * T : (b + 1) * T], (C, 1))
+            xc = CF32(jnp.asarray(x.real.astype(np.float32)),
+                      jnp.asarray(x.imag.astype(np.float32)))
+            soft_f, valid_f, st_f = dm_f.block_batch(xc, st_f)
+            soft_d, valid_d, st_d = dm_d.block_batch(xc, st_d)
+            np.testing.assert_array_equal(
+                np.asarray(valid_f), np.asarray(valid_d)
+            )
+            np.testing.assert_allclose(
+                np.asarray(soft_f), np.asarray(soft_d), atol=2e-3
+            )
+        np.testing.assert_array_equal(
+            np.asarray(st_f.clock.ii), np.asarray(st_d.clock.ii)
+        )
+
 
 class TestFirMatmul:
     def test_matmul_matches_conv(self, rng):

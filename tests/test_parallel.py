@@ -189,3 +189,37 @@ class TestFoldedCapture:
         for scid, vcid, ctr, v in got:
             assert (scid, vcid) == (13, 5)
             assert v in sent
+
+    def test_reprocess_cli_writes_channel_files(self, rng, tmp_path, monkeypatch):
+        from xritdemod_tpu import tx
+        from xritdemod_tpu.models.demodulator import DemodConfig
+        from xritdemod_tpu.ops import filters
+        from xritdemod_tpu import cli
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        vcdus = tx.make_vcdus(6, scid=13, vcid=9, rng=rng)
+        symbols = tx.encode_stream(vcdus, lrit=True)
+        sps = cfg.sps
+        nsym = len(symbols)
+        impulses = np.zeros(int(nsym * sps * 4) + 508)
+        impulses[(np.arange(nsym) * sps * 4).astype(np.int64)] = symbols
+        rc = filters.rrc_taps(1.0, cfg.sample_rate * 4, cfg.symbol_rate,
+                              cfg.rrc_alpha, 508)
+        sig = np.convolve(impulses, rc.astype(np.float64) * 4,
+                          mode="same")[::4].astype(np.complex128)
+        sig = sig * np.exp(1j * 0.4) * 0.3
+        cap = tmp_path / "cap.bin"
+        sig.astype(np.complex64).tofile(cap)
+        cfgfile = tmp_path / "xritdemod.cfg"
+        cfgfile.write_text("mode=lrit\nsampleRate=1250000\ndecimation=1\n")
+        monkeypatch.chdir(tmp_path)
+        rc_ = cli.main([
+            "reprocess", str(cap), "--config", str(cfgfile),
+            "--folds", "2", "--block-len", str(1 << 15),
+            "--out", str(tmp_path / "channels"),
+        ])
+        assert rc_ == 0
+        data = (tmp_path / "channels" / "channel_9.bin").read_bytes()
+        assert len(data) == 6 * 892
+        sent = b"".join(bytes(v) for v in vcdus)
+        assert data == sent

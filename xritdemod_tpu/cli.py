@@ -99,6 +99,33 @@ def _rx(args) -> int:
     return 0
 
 
+def _reprocess(args) -> int:
+    """Bulk-reprocess a recorded capture fold-parallel (no pacing, no
+    sockets): capture file in -> per-VCID channel files out."""
+    import numpy as np
+
+    from xritdemod_tpu.parallel.timeblocks import FoldedCaptureReceiver
+    from xritdemod_tpu.runtime.channel_writer import ChannelWriter
+    from xritdemod_tpu.runtime.config import demod_config_from_file
+
+    cfg, parser = demod_config_from_file(args.config)
+    x = np.fromfile(args.file, np.complex64)
+    print(f"xritdemod_tpu reprocess: {len(x)} samples "
+          f"({len(x) / cfg.sample_rate:.1f}s of capture), "
+          f"folds={args.folds}")
+    rx = FoldedCaptureReceiver(cfg, folds=args.folds,
+                               block_len=args.block_len)
+    frames = rx.process(x)
+    writer = ChannelWriter(args.out)
+    per_vcid: dict[int, int] = {}
+    for scid, vcid, ctr, vcdu in frames:
+        writer.write_channel(vcdu, vcid)
+        per_vcid[vcid] = per_vcid.get(vcid, 0) + 1
+    print(f"frames={len(frames)} vcids=" + ",".join(
+        f"{k}:{v}" for k, v in sorted(per_vcid.items())))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="xritdemod_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -123,6 +150,17 @@ def main(argv=None) -> int:
     r.add_argument("--dump", action="store_true")
     r.add_argument("--max-blocks", type=int, default=None)
     r.set_defaults(fn=_rx)
+
+    g = sub.add_parser(
+        "reprocess",
+        help="bulk-reprocess a capture fold-parallel -> channel files",
+    )
+    g.add_argument("file", help="complex64 IQ capture")
+    g.add_argument("--config", default="xritdemod.cfg")
+    g.add_argument("--folds", type=int, default=128)
+    g.add_argument("--block-len", type=int, default=1 << 17)
+    g.add_argument("--out", default="channels")
+    g.set_defaults(fn=_reprocess)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -72,6 +72,13 @@ class DemodConfig:
     # the XLA form) whenever running on TPU with channels a multiple of its
     # 128-lane tile, else the XLA kernel; "pallas"/"xla" force either.
     clock_kernel: str = "auto"
+    # K-row slab blocking inside the fused front-end kernel: 0 = exact
+    # per-sample AGC/Costas recursions; K > 0 runs the AGC as an exact
+    # affine prefix over K-row slabs and the Costas as the frozen-ramp
+    # block update (ops/costas.costas_block_update semantics) — ~K x
+    # fewer sequential steps.  Post-FEC frames stay bit-identical on
+    # locked signals (tests/test_demod_chain.py).
+    frontend_block_update: int = 0
     # Front-end fusion for the batch path: "auto" (default) fuses
     # AGC + RRC + Costas into ONE channels-last Pallas kernel
     # (ops/frontend_pallas.py) feeding the channels-last clock entry —
@@ -295,6 +302,7 @@ class Demodulator:
                 xT, state.agc_gain, state.rrc_hist, state.costas,
                 self._agc, self._rrc_taps_t, self._costas,
                 interpret=interp,
+                block_k=cfg.frontend_block_update,
             )
             syms, valid, clock_state = clock_recovery_block_pallas_batch_cl(
                 yT, state.clock, self._clock, self.num_slots,
@@ -328,6 +336,11 @@ class Demodulator:
 
             x, costas_state = costas_block_pallas(
                 x, state.costas, self._costas, interpret=interp
+            )
+        elif cfg.frontend_block_update:
+            x, costas_state = costas_op.costas_block_update(
+                x, state.costas, self._costas,
+                chunk=cfg.frontend_block_update,
             )
         else:
             x, costas_state = costas_op.costas_block(

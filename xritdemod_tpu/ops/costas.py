@@ -33,7 +33,13 @@ import jax.numpy as jnp
 
 from xritdemod_tpu.utils.cplx import CF32
 
-__all__ = ["CostasParams", "costas_init", "costas_block", "costas_gains"]
+__all__ = [
+    "CostasParams",
+    "costas_init",
+    "costas_block",
+    "costas_block_update",
+    "costas_gains",
+]
 
 
 class CostasParams(NamedTuple):
@@ -101,5 +107,80 @@ def costas_block(
     (phase, freq), (ytr, yti) = jax.lax.scan(
         step, (state.phase, state.freq), xt, unroll=unroll
     )
+    y = CF32(jnp.moveaxis(ytr, 0, -1), jnp.moveaxis(yti, 0, -1))
+    return y, CostasState(phase=phase, freq=freq)
+
+
+def costas_block_update(
+    x: CF32,
+    state: CostasState,
+    params: CostasParams,
+    chunk: int = 8,
+) -> tuple[CF32, CostasState]:
+    """Frozen-ramp K-sample block update of the Costas loop.
+
+    Same trick as the M&M block update (clock_recovery_block_update_batch):
+    within a K=`chunk`-sample slab the NCO runs open loop — sample k is
+    rotated by `phase + k*freq` — so the K rotations/detections vectorize,
+    and the loop filter advances once per slab.  Given the frozen-ramp
+    errors e_k the (phase, freq) update is the *exact* composition of K
+    sequential GR `control_loop` steps (costas_block):
+
+        freq'  = clip(freq + beta * sum_k e_k)
+        phase' = phase + K*freq + sum_k (alpha + beta*(K-k)) * e_k
+
+    (e_k enters freq at step k and phase through every later step's freq,
+    hence the (K-k) weight; intermediate freq clips are deferred to the
+    slab boundary).  The approximation vs the exact recursion is only that
+    phase corrections apply at slab boundaries instead of per sample —
+    a <= alpha*K*|e| ~ 0.1 rad transient worst case; post-FEC output is
+    bit-identical on locked signals (tests/test_demod_chain.py).
+    `chunk=1` reproduces `costas_block` exactly.  Sequential length drops
+    T -> T/K.
+    """
+    alpha = jnp.float32(params.alpha)
+    beta = jnp.float32(params.beta)
+    K = chunk
+    T = x.re.shape[-1]
+    if T % K:
+        raise ValueError(f"block length {T} not a multiple of chunk {K}")
+    # Per-slab error weights for the composed phase update.
+    kvec = jnp.arange(K, dtype=jnp.float32)
+    wvec = alpha + beta * (jnp.float32(K) - kvec)
+    # Enough conditional +-2pi wraps to cover the worst slab advance.
+    advance = K * max(abs(params.freq_min), abs(params.freq_max)) + float(
+        K * (params.alpha + params.beta * K)
+    )
+    nwrap = int(math.ceil(advance / _TWO_PI)) + 1
+
+    def step(carry, xn):
+        phase, freq = carry                      # (...,)
+        xr, xi = xn                              # (K, ...)
+        ph = phase[None] + kvec.reshape((K,) + (1,) * phase.ndim) * freq[None]
+        c = jnp.cos(ph)
+        s = jnp.sin(ph)
+        yr = xr * c + xi * s
+        yi = xi * c - xr * s
+        err = jnp.clip(yr * yi, -1.0, 1.0)
+        wk = wvec.reshape((K,) + (1,) * phase.ndim)
+        freq_new = jnp.clip(
+            freq + beta * jnp.sum(err, axis=0),
+            params.freq_min, params.freq_max,
+        )
+        phase = phase + jnp.float32(K) * freq + jnp.sum(wk * err, axis=0)
+        for _ in range(nwrap):
+            phase = phase - jnp.where(phase > _TWO_PI, _TWO_PI, 0.0)
+            phase = phase + jnp.where(phase < -_TWO_PI, _TWO_PI, 0.0)
+        return (phase, freq_new), (yr, yi)
+
+    xt = (
+        jnp.moveaxis(x.re, -1, 0).reshape((T // K, K) + x.re.shape[:-1]),
+        jnp.moveaxis(x.im, -1, 0).reshape((T // K, K) + x.re.shape[:-1]),
+    )
+    (phase, freq), (ytr, yti) = jax.lax.scan(
+        step, (state.phase, state.freq), xt
+    )
+    ytr = ytr.reshape((T,) + x.re.shape[:-1])
+    yti = yti.reshape((T,) + x.re.shape[:-1])
     y = CF32(jnp.moveaxis(ytr, 0, -1), jnp.moveaxis(yti, 0, -1))
     return y, CostasState(phase=phase, freq=freq)

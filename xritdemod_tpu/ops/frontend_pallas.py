@@ -51,7 +51,8 @@ def _frontend_kernel(
     xr_ref, xi_ref, g0_ref, ph0_ref, fr0_ref, hr0_ref, hi0_ref, m2_ref,
     yr_ref, yi_ref, gout_ref, phout_ref, frout_ref, hrout_ref, hiout_ref,
     win_r, win_i, fir_r, fir_i, st_scr,
-    *, rows, nh, G, agc: AgcParams, costas: CostasParams,
+    *, rows, nh, G, agc: AgcParams, costas: CostasParams, block_k=0,
+    block_stages="both",
 ):
     rate = jnp.float32(agc.rate)
     ref = jnp.float32(agc.reference)
@@ -71,18 +72,65 @@ def _frontend_kernel(
         win_i[0:nh] = hi0_ref[:]
 
     # ---- AGC: sequential gain recursion into the window buffer ----------
-    def agc_body(r, g):
-        xr = xr_ref[r]                                    # (G, 128)
-        xi = xi_ref[r]
-        win_r[nh + r] = xr * g
-        win_i[nh + r] = xi * g
-        mag = jnp.sqrt(xr * xr + xi * xi)
-        g = g + rate * (ref - mag * g)
-        if agc.max_gain > 0:
-            g = jnp.minimum(g, max_gain)
-        return g
+    if block_k and block_stages in ("both", "agc"):
+        # K-row slab form: the gain recurrence g' = (1 - rate*|x|)*g +
+        # rate*ref is linear given the INPUT magnitudes, so the K applied
+        # gains come from an exact affine prefix tree (log2 K shifted
+        # composes, all full-slab VPU ops) — same math as ops/agc.agc_block
+        # (max-gain clamp applied to the scanned gains, not threaded
+        # through the recursion; non-binding in lock).  Sequential length
+        # drops rows -> rows/K.
+        # NOTE: the slab loop is a STATIC Python unroll (rows//bk bodies)
+        # with static slices throughout — dynamic-offset multi-row pl.ds
+        # access inside fori_loop sends the Mosaic compiler into a
+        # pathological 25-minute-plus lowering (single-row dynamic access,
+        # as in the exact branch below, is fine).
+        bk = block_k
+        g = st_scr[0]
+        for si in range(rows // bk):
+            r0 = si * bk
+            xr = xr_ref[r0 : r0 + bk]                     # (bk, G, 128)
+            xi = xi_ref[r0 : r0 + bk]
+            mag = jnp.sqrt(xr * xr + xi * xi)
+            a = 1.0 - rate * mag
+            b = jnp.full_like(a, rate * ref)
+            s = 1
+            while s < bk:
+                a_sh = jnp.concatenate(
+                    [jnp.ones((s, G, 128), jnp.float32), a[:-s]], axis=0
+                )
+                b_sh = jnp.concatenate(
+                    [jnp.zeros((s, G, 128), jnp.float32), b[:-s]], axis=0
+                )
+                b = a * b_sh + b
+                a = a * a_sh
+                s *= 2
+            g_next = a * g[None] + b                      # g after row k
+            g_app = jnp.concatenate([g[None], g_next[:-1]], axis=0)
+            if agc.max_gain > 0:
+                g_app = jnp.minimum(g_app, max_gain)
+            win_r[nh + r0 : nh + r0 + bk] = xr * g_app
+            win_i[nh + r0 : nh + r0 + bk] = xi * g_app
+            # (integer indexing lowers to dynamic_slice, which Mosaic
+            # rejects on values — use a static slice + reshape)
+            g = jax.lax.slice_in_dim(g_next, bk - 1, bk, axis=0).reshape(
+                G, 128
+            )
+            if agc.max_gain > 0:
+                g = jnp.minimum(g, max_gain)
+    else:
+        def agc_body(r, g):
+            xr = xr_ref[r]                                # (G, 128)
+            xi = xi_ref[r]
+            win_r[nh + r] = xr * g
+            win_i[nh + r] = xi * g
+            mag = jnp.sqrt(xr * xr + xi * xi)
+            g = g + rate * (ref - mag * g)
+            if agc.max_gain > 0:
+                g = jnp.minimum(g, max_gain)
+            return g
 
-    g = jax.lax.fori_loop(0, rows, agc_body, st_scr[0])
+        g = jax.lax.fori_loop(0, rows, agc_body, st_scr[0])
     st_scr[0] = g
 
     # ---- RRC: banded-tap matmuls over the window (MXU, one per plane) ---
@@ -103,26 +151,72 @@ def _frontend_kernel(
     win_i[0:nh] = win_i[pl.ds(rows, nh)]
 
     # ---- Costas: sequential PLL recursion over the FIR rows -------------
-    def costas_body(r, carry):
-        phase, freq = carry
-        xr = fir_r[r]                                     # (G, 128)
-        xi = fir_i[r]
-        c = jnp.cos(phase)
-        s = jnp.sin(phase)
-        yr = xr * c + xi * s
-        yi = xi * c - xr * s
-        yr_ref[r] = yr
-        yi_ref[r] = yi
-        err = jnp.clip(yr * yi, -1.0, 1.0)
-        freq = jnp.clip(freq + beta * err, fmin, fmax)
-        phase = phase + freq + alpha * err
-        phase = phase - jnp.where(phase > two_pi, two_pi, 0.0)
-        phase = phase + jnp.where(phase < -two_pi, two_pi, 0.0)
-        return phase, freq
+    if block_k and block_stages in ("both", "costas"):
+        # Frozen-ramp K-row slab update (ops/costas.costas_block_update
+        # semantics fused on-chip): rotate slab row k by phase + k*freq,
+        # then advance the loop filter once with the exact K-step
+        # composition weights w_k = alpha + beta*(K-k).
+        bk = block_k
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (bk, G, 128), 0).astype(
+            jnp.float32
+        )
+        wcol = alpha + beta * (jnp.float32(bk) - kcol)
+        advance = bk * max(abs(costas.freq_min), abs(costas.freq_max)) + (
+            bk * (costas.alpha + costas.beta * bk)
+        )
+        nwrap = int(np.ceil(advance / _TWO_PI)) + 1
 
-    phase, freq = jax.lax.fori_loop(
-        0, rows, costas_body, (st_scr[1], st_scr[2])
-    )
+        def costas_slab(r0, carry):
+            # r0 static (see AGC note: static unroll, static slices).
+            phase, freq = carry                           # (G, 128)
+            xr = fir_r[r0 : r0 + bk]                      # (bk, G, 128)
+            xi = fir_i[r0 : r0 + bk]
+            ph = phase[None] + kcol * freq[None]
+            c = jnp.cos(ph)
+            s = jnp.sin(ph)
+            yr = xr * c + xi * s
+            yi = xi * c - xr * s
+            yr_ref[r0 : r0 + bk] = yr
+            yi_ref[r0 : r0 + bk] = yi
+            err = jnp.clip(yr * yi, -1.0, 1.0)
+            freq_new = jnp.clip(
+                freq + beta * jnp.sum(err, axis=0), fmin, fmax
+            )
+            phase = (
+                phase
+                + jnp.float32(bk) * freq
+                + jnp.sum(wcol * err, axis=0)
+            )
+            for _ in range(nwrap):
+                phase = phase - jnp.where(phase > two_pi, two_pi, 0.0)
+                phase = phase + jnp.where(phase < -two_pi, two_pi, 0.0)
+            return phase, freq_new
+
+        carry = (st_scr[1], st_scr[2])
+        for si in range(rows // bk):
+            carry = costas_slab(si * bk, carry)
+        phase, freq = carry
+    else:
+        def costas_body(r, carry):
+            phase, freq = carry
+            xr = fir_r[r]                                 # (G, 128)
+            xi = fir_i[r]
+            c = jnp.cos(phase)
+            s = jnp.sin(phase)
+            yr = xr * c + xi * s
+            yi = xi * c - xr * s
+            yr_ref[r] = yr
+            yi_ref[r] = yi
+            err = jnp.clip(yr * yi, -1.0, 1.0)
+            freq = jnp.clip(freq + beta * err, fmin, fmax)
+            phase = phase + freq + alpha * err
+            phase = phase - jnp.where(phase > two_pi, two_pi, 0.0)
+            phase = phase + jnp.where(phase < -two_pi, two_pi, 0.0)
+            return phase, freq
+
+        phase, freq = jax.lax.fori_loop(
+            0, rows, costas_body, (st_scr[1], st_scr[2])
+        )
     st_scr[1] = phase
     st_scr[2] = freq
 
@@ -137,7 +231,8 @@ def _frontend_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("agc", "taps", "costas", "rows", "interpret"),
+    static_argnames=("agc", "taps", "costas", "rows", "interpret",
+                     "block_k", "block_stages"),
 )
 def demod_frontend_pallas(
     x: CF32,
@@ -149,6 +244,8 @@ def demod_frontend_pallas(
     costas: CostasParams,
     rows: int = 256,
     interpret: bool = False,
+    block_k: int = 0,
+    block_stages: str = "both",
 ) -> tuple[CF32, jax.Array, CF32, CostasState]:
     """AGC -> RRC -> Costas over a channels-last `(T, C)` block.
 
@@ -161,12 +258,19 @@ def demod_frontend_pallas(
       taps: length-N tuple of RRC taps (static).
 
     Returns `(y, gain', rrc_hist', costas_state')` with `y` `(T, C)` CF32.
+
+    `block_k=K > 0` switches the AGC and Costas recursions to K-row slab
+    forms (see _frontend_kernel): AGC gains via an exact affine prefix
+    tree, Costas via the frozen-ramp block update of
+    `ops.costas.costas_block_update` — ~K x fewer sequential steps.
     """
     T, C = x.re.shape
     ntaps = len(taps)
     nh = ntaps - 1
     if C % 128 or T % rows:
         raise ValueError(f"need C%128==0 and T%{rows}==0, got {(T, C)}")
+    if block_k and rows % block_k:
+        raise ValueError(f"rows {rows} not a multiple of block_k {block_k}")
     G = C // 128
     m2 = jnp.asarray(_band_matrix_np(taps, rows).T)       # (rows, rows+nh)
 
@@ -177,7 +281,8 @@ def demod_frontend_pallas(
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     yr, yi, gout, phout, frout, hrout, hiout = pl.pallas_call(
         functools.partial(
-            _frontend_kernel, rows=rows, nh=nh, G=G, agc=agc, costas=costas
+            _frontend_kernel, rows=rows, nh=nh, G=G, agc=agc, costas=costas,
+            block_k=block_k, block_stages=block_stages,
         ),
         grid=(T // rows,),
         out_shape=(

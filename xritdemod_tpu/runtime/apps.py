@@ -62,7 +62,12 @@ class DemodulatorApp:
         self.symbols_out = 0
 
     def _on_samples(self, iq: np.ndarray, sample_type: int) -> None:
-        self.fifo.push(iq)
+        # Normalize s16/s8 wire types to float at ingest, like
+        # onSamplesAvailable (demodulator.cpp:54-74); the bundled frontends
+        # already deliver FLOAT_IQ (passthrough).
+        from xritdemod_tpu.runtime.frontends import normalize_samples
+
+        self.fifo.push(normalize_samples(iq, sample_type))
 
     def run(self, max_blocks: int | None = None) -> None:
         self.frontend.set_sample_rate(self.config.sample_rate)
