@@ -223,3 +223,25 @@ class TestBlockUpdateClock:
         sent = {bytes(v) for v in vcdus}
         for v in got:
             assert bytes(v) in sent
+
+
+def test_snr_estimate_tracks_true_snr(rng):
+    """The GR-prototype RMS-ratio figure (in-band S+N over out-of-band N,
+    demod_tcp_qt.py:263-298) is a RELATIVE link-quality indicator, not a
+    calibrated Es/N0: it must be strictly monotone in true SNR and track
+    dB-for-dB in the high-SNR regime."""
+    cfg = DemodConfig.lrit(sample_rate=1_250_000)
+    dm = Demodulator(cfg, block_len=1 << 16)
+    state = dm.init_state()
+    ests = []
+    for target_db in (6.0, 10.0, 14.0, 20.0):
+        noise = 0.25 * 10 ** (-target_db / 20)
+        sig, _ = make_lrit_signal(
+            rng, 18_000, cfg, amp=0.25, noise=noise / np.sqrt(2)
+        )
+        ests.append(
+            float(np.asarray(dm.snr_estimate(sig[: 1 << 16], state)))
+        )
+    assert ests == sorted(ests), ests
+    assert ests[-1] - ests[0] > 8.0, ests          # wide dynamic range
+    assert 4.0 < ests[-1] - ests[-2] < 8.0, ests   # ~dB-for-dB when clean

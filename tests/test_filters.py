@@ -66,3 +66,21 @@ def test_lowpass_dc_gain_and_cutoff():
     stopband = H[w > cutoff + trans]
     assert np.all(passband > 0.98)
     assert np.all(stopband < 10 ** (-40 / 20))  # >40 dB down
+
+
+class TestHighpass:
+    def test_highpass_response(self):
+        """Blackman windowed-sinc HPF (firdes.high_pass semantics): unity
+        at Nyquist, deep null at DC, cutoff respected."""
+        from xritdemod_tpu.ops.filters import highpass_taps
+
+        fs, cutoff = 1_250_000.0, 293_883.0
+        taps = highpass_taps(1.0, fs, cutoff, 300e3).astype(np.float64)
+        assert len(taps) % 2 == 1
+        # frequency response at DC, cutoff-ish band, and Nyquist
+        w = np.fft.rfftfreq(8192, 1 / fs)
+        H = np.abs(np.fft.rfft(taps, 8192))
+        assert H[0] < 1e-3                      # DC null
+        assert abs(H[-1] - 1.0) < 1e-3          # unity at Nyquist
+        assert H[w < cutoff - 200e3].max() < 0.05   # stopband
+        assert H[w > cutoff + 200e3].min() > 0.9    # passband

@@ -186,6 +186,32 @@ class Demodulator:
         )
         self._step = jax.jit(functools.partial(self._block))
 
+    def snr_estimate(self, x, state: DemodState) -> jax.Array:
+        """Per-block RMS-ratio SNR estimate in dB (ops/snr.py — the GR
+        golden-model figure the reference C++ app lacks,
+        demod_tcp_qt.py:263-298).  `x` is a raw `(..., T)` input block;
+        runs AGC from the carried gain (diagnostic tap — does not advance
+        state)."""
+        if not isinstance(x, CF32):
+            x = from_complex(x)
+        if self.config.decimation > 1:
+            x, _ = fir.fir_block(
+                x, self._dec_taps, state.dec_hist, self.config.decimation
+            )
+        y, _ = agc_op.agc_block(x, state.agc_gain, self._agc)
+        from xritdemod_tpu.ops.snr import snr_estimate_db
+
+        hpf = tuple(
+            float(v)
+            for v in filters.highpass_taps(
+                1.0,
+                self.config.circuit_sample_rate,
+                float(self.config.symbol_rate),
+                300e3,
+            )
+        )
+        return snr_estimate_db(y, self._rrc_taps_t, hpf)
+
     def _clock_pallas_kw(self, interp: bool) -> dict:
         """Pallas clock-kernel launch options for the batch path.
 

@@ -14,7 +14,14 @@ import math
 
 import numpy as np
 
-__all__ = ["rrc_taps", "lowpass_taps", "hamming", "compute_ntaps"]
+__all__ = [
+    "rrc_taps",
+    "lowpass_taps",
+    "highpass_taps",
+    "hamming",
+    "blackman",
+    "compute_ntaps",
+]
 
 
 def rrc_taps(
@@ -74,6 +81,38 @@ def compute_ntaps(
     if (ntaps & 1) == 0:
         ntaps += 1
     return ntaps
+
+
+def blackman(ntaps: int) -> np.ndarray:
+    """GR window::blackman: 0.42 - 0.5 cos(2 pi n/(N-1)) + 0.08 cos(4 pi n/(N-1))."""
+    n = np.arange(ntaps, dtype=np.float64)
+    x = 2.0 * math.pi * n / (ntaps - 1)
+    return 0.42 - 0.5 * np.cos(x) + 0.08 * np.cos(2.0 * x)
+
+
+def highpass_taps(
+    gain: float,
+    sampling_freq: float,
+    cutoff_freq: float,
+    transition_width: float,
+    attenuation_db: float = 74.0,
+) -> np.ndarray:
+    """Windowed-sinc high pass, GR `firdes::high_pass` with Blackman window
+    (the golden-model SNR estimator's noise tap, demod_tcp_qt.py:263-264;
+    GR WIN_BLACKMAN max attenuation 74 dB); unity gain at Nyquist."""
+    ntaps = compute_ntaps(sampling_freq, transition_width, attenuation_db)
+    w = blackman(ntaps)
+    m = (ntaps - 1) // 2
+    fw_t0 = 2.0 * math.pi * cutoff_freq / sampling_freq
+    taps = np.zeros(ntaps, dtype=np.float64)
+    for n in range(-m, m + 1):
+        if n == 0:
+            taps[n + m] = (1.0 - fw_t0 / math.pi) * w[n + m]
+        else:
+            taps[n + m] = -math.sin(n * fw_t0) / (n * math.pi) * w[n + m]
+    # normalize to unity gain at the Nyquist frequency (GR semantics)
+    fmax = sum(taps[m + n] * math.cos(math.pi * n) for n in range(-m, m + 1))
+    return (taps * (gain / fmax)).astype(np.float32)
 
 
 def lowpass_taps(

@@ -60,6 +60,11 @@ class DemodulatorApp:
         self.realtime = realtime
         self._running = False
         self.symbols_out = 0
+        # RMS-ratio link-quality figure (GR golden-model display,
+        # ops/snr.py), refreshed every SNR_INTERVAL blocks when the
+        # constellation diagnostics tap is on.
+        self.snr_db: float | None = None
+        self.SNR_INTERVAL = 16
 
     def _on_samples(self, iq: np.ndarray, sample_type: int) -> None:
         # Normalize s16/s8 wire types to float at ingest, like
@@ -92,6 +97,10 @@ class DemodulatorApp:
                 self.sender.process()
                 if self.diag:
                     self.diag.add_samples(soft_np.astype(np.float32) / 127.0)
+                    if blocks % self.SNR_INTERVAL == 0:
+                        self.snr_db = float(
+                            np.asarray(self.demod.snr_estimate(x, state))
+                        )
                 blocks += 1
                 if max_blocks is not None and blocks >= max_blocks:
                     break
