@@ -77,8 +77,12 @@ class DemodConfig:
     # affine prefix over K-row slabs and the Costas as the frozen-ramp
     # block update (ops/costas.costas_block_update semantics) — ~K x
     # fewer sequential steps.  Post-FEC frames stay bit-identical on
-    # locked signals (tests/test_demod_chain.py).
-    frontend_block_update: int = 0
+    # locked signals (tests/test_demod_chain.py).  -1 = auto: K=8 when
+    # the fused TPU front-end kernel is active (measured best on-chip:
+    # 2106 vs 1598 Msamp/s at C=512; K=4: 2012, K=16: 1980), exact
+    # per-sample forms everywhere else (CPU stays bit-exact to the GR
+    # golden model).
+    frontend_block_update: int = -1
     # Front-end fusion for the batch path: "auto" (default) fuses
     # AGC + RRC + Costas into ONE channels-last Pallas kernel
     # (ops/frontend_pallas.py) feeding the channels-last clock entry —
@@ -315,6 +319,13 @@ class Demodulator:
             and cfg.fir_kernel in ("auto", "matmul")
             and cfg.clock_kernel in ("auto", "pallas")
         )
+        # Resolve the auto (-1) slab size: K=8 inside the fused TPU
+        # kernel (measured optimum), exact per-sample forms elsewhere
+        # (incl. forced-fused interpret runs on CPU, which the tests
+        # compare bit-for-bit against the exact split path).
+        fe_bu = cfg.frontend_block_update
+        if fe_bu < 0:
+            fe_bu = 8 if (use_fused and on_tpu) else 0
         if use_fused:
             from xritdemod_tpu.ops.clock_pallas import (
                 clock_recovery_block_pallas_batch_cl,
@@ -328,7 +339,7 @@ class Demodulator:
                 xT, state.agc_gain, state.rrc_hist, state.costas,
                 self._agc, self._rrc_taps_t, self._costas,
                 interpret=interp,
-                block_k=cfg.frontend_block_update,
+                block_k=fe_bu,
             )
             syms, valid, clock_state = clock_recovery_block_pallas_batch_cl(
                 yT, state.clock, self._clock, self.num_slots,
@@ -363,10 +374,10 @@ class Demodulator:
             x, costas_state = costas_block_pallas(
                 x, state.costas, self._costas, interpret=interp
             )
-        elif cfg.frontend_block_update:
+        elif fe_bu:
             x, costas_state = costas_op.costas_block_update(
                 x, state.costas, self._costas,
-                chunk=cfg.frontend_block_update,
+                chunk=fe_bu,
             )
         else:
             x, costas_state = costas_op.costas_block(
