@@ -147,7 +147,10 @@ def bench_decode(mode: str):
 
     soft_dev = jnp.asarray(soft)
 
-    dec = CaduDecoder(DecoderConfig(mode=mode, frames_per_block=B))
+    segs = int(os.environ.get("BENCH_VIT_SEGMENTS", "-1"))
+    dec = CaduDecoder(
+        DecoderConfig(mode=mode, frames_per_block=B, viterbi_segments=segs)
+    )
     tail = dec.init_tail()
 
     t0 = time.perf_counter()

@@ -222,3 +222,28 @@ class TestViterbiPallas:
         b2, e2 = viterbi_decode_pallas(jnp.asarray(soft), interpret=True)
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
         np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    def test_segmented_matches_exact(self, rng):
+        """Segment-parallel Viterbi == exact decoder on noisy frames.
+
+        overlap=128 (~21 constraint lengths of warmup/tail per window) makes
+        the windowed survivor paths merge with the exact ones at any
+        realistic SNR; this pins bit- and error-count equality.
+        """
+        import jax.numpy as jnp
+
+        from xritdemod_tpu.ops import viterbi as vit
+        from xritdemod_tpu.ops.viterbi_pallas import viterbi_decode_segmented
+
+        B, T = 2, 1028  # T not divisible by segments exercises tail padding
+        bits = rng.integers(0, 2, (B, T)).astype(np.uint8)
+        coded = np.asarray(vit.reencode_bits(jnp.asarray(bits)))
+        soft = (1.0 - 2.0 * coded.astype(np.float32)) * 64 + rng.normal(
+            0, 24, (B, 2 * T)
+        ).astype(np.float32)
+        b1, e1 = vit.viterbi_decode(jnp.asarray(soft))
+        b2, e2 = viterbi_decode_segmented(
+            jnp.asarray(soft), segments=4, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
