@@ -49,7 +49,9 @@ def bench_demod(mode: str):
     from xritdemod_tpu.parallel.channels import ChannelDemodulator
     from xritdemod_tpu.utils.cplx import CF32
 
-    C = int(os.environ.get("BENCH_CHANNELS", "512"))
+    # C=1024 measured best on one v5e chip (2639 Msamp/s vs 2557 at 512);
+    # C=2048 exceeds the fused front-end's VMEM scratch at rows=256.
+    C = int(os.environ.get("BENCH_CHANNELS", "1024"))
     T = int(os.environ.get("BENCH_BLOCK", str(1 << 17)))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
 
@@ -73,6 +75,12 @@ def bench_demod(mode: str):
     fk = int(os.environ.get("BENCH_FRONTEND_UPDATE", "-1"))
     if fk >= 0:
         cfg = dataclasses.replace(cfg, frontend_block_update=fk)
+    fp = os.environ.get("BENCH_FRONTEND_PRECISION")
+    if fp:
+        cfg = dataclasses.replace(cfg, frontend_precision=fp)
+    ctile = int(os.environ.get("BENCH_CLOCK_TILE", "0"))
+    if ctile:
+        cfg = dataclasses.replace(cfg, clock_tile=ctile)
     demod = ChannelDemodulator(cfg, channels=C, block_len=T)
 
     rng = np.random.default_rng(0)

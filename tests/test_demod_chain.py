@@ -224,6 +224,44 @@ class TestBlockUpdateClock:
         for v in got:
             assert bytes(v) in sent
 
+    def test_frontend_bf16_rrc_matches_exact_symbols(self, rng):
+        """Fused front-end with bf16 RRC matmul operands
+        (frontend_precision="bf16", the MXU single-pass form) vs exact
+        f32: same clock trajectory and valid mask, soft symbols within
+        the bf16 mantissa bound — i.e. well inside the int8 quantizer
+        LSB (1/127), so the downstream coded stream is unchanged.
+        (Post-FEC bit-exactness of the full bf16 TPU path is verified
+        on-device by tools/drive_fused_tpu.py.)"""
+        from xritdemod_tpu.utils.cplx import CF32
+
+        C, T = 128, 2048
+        cfg_b = DemodConfig.lrit(sample_rate=1_250_000,
+                                 frontend_kernel="fused",
+                                 frontend_precision="bf16")
+        cfg_h = DemodConfig.lrit(sample_rate=1_250_000,
+                                 frontend_kernel="fused",
+                                 frontend_precision="highest")
+        sig, _ = make_lrit_signal(rng, 2000, cfg_b)
+        dm_b = Demodulator(cfg_b, block_len=T)
+        dm_h = Demodulator(cfg_h, block_len=T)
+        st_b = dm_b.init_state_batch(C)
+        st_h = dm_h.init_state_batch(C)
+        for b in range(2):
+            x = np.tile(sig[b * T : (b + 1) * T], (C, 1))
+            xc = CF32(jnp.asarray(x.real.astype(np.float32)),
+                      jnp.asarray(x.imag.astype(np.float32)))
+            soft_b, valid_b, st_b = dm_b.block_batch(xc, st_b)
+            soft_h, valid_h, st_h = dm_h.block_batch(xc, st_h)
+            np.testing.assert_array_equal(
+                np.asarray(valid_b), np.asarray(valid_h)
+            )
+            np.testing.assert_allclose(
+                np.asarray(soft_b), np.asarray(soft_h), atol=4e-3
+            )
+        np.testing.assert_array_equal(
+            np.asarray(st_b.clock.ii), np.asarray(st_h.clock.ii)
+        )
+
 
 def test_snr_estimate_tracks_true_snr(rng):
     """The GR-prototype RMS-ratio figure (in-band S+N over out-of-band N,

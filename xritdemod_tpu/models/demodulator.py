@@ -67,6 +67,11 @@ class DemodConfig:
     # (ops/fir.fir_block_real_matmul) on TPU when decimation==1 and the
     # block divides its window, else lane-wise conv; "conv"/"matmul" force.
     fir_kernel: str = "auto"
+    # Channel-tile width (lanes per grid step) of the Pallas clock kernel:
+    # 0 = auto (widest of 256/512/128 dividing C).  At C >= 1024 a wider
+    # tile halves the number of sequential per-symbol passes per
+    # tensorcore — measure per shape.
+    clock_tile: int = 0
     # Batch-path clock kernel choice: "auto" (default) picks the Pallas
     # kernel (ops/clock_pallas.py — the exact recursion fused on-chip, ~5x
     # the XLA form) whenever running on TPU with channels a multiple of its
@@ -83,6 +88,15 @@ class DemodConfig:
     # per-sample forms everywhere else (CPU stays bit-exact to the GR
     # golden model).
     frontend_block_update: int = -1
+    # MXU precision of the RRC banded matmuls inside the fused front-end:
+    # "highest" = exact f32; "default" = the MXU's native pass count;
+    # "bf16" = cast operands to bf16 (single MXU pass).  "auto" (default)
+    # = bf16 on the TPU fused path (measured 2639 vs 2557 Msamp/s at
+    # C=1024), exact f32 elsewhere so CPU golden tests stay bit-exact.
+    # The soft symbols only carry ~7 bits into the int8 quantizer; the
+    # bf16 matched filter still decodes post-FEC bit-exact
+    # (tests/test_demod_chain.py::test_frontend_bf16_rrc_chain_...).
+    frontend_precision: str = "auto"
     # Front-end fusion for the batch path: "auto" (default) fuses
     # AGC + RRC + Costas into ONE channels-last Pallas kernel
     # (ops/frontend_pallas.py) feeding the channels-last clock entry —
@@ -229,6 +243,8 @@ class Demodulator:
         if K:
             kw.update(block_update=True, chunk=K,
                       superchunks=max(2, 512 // K))
+        if self.config.clock_tile:
+            kw.update(ct=self.config.clock_tile)
         if interp:
             kw.update(chunk=min(4, K) if K else 4, superchunks=2)
         return kw
@@ -326,6 +342,9 @@ class Demodulator:
         fe_bu = cfg.frontend_block_update
         if fe_bu < 0:
             fe_bu = 8 if (use_fused and on_tpu) else 0
+        fe_prec = cfg.frontend_precision
+        if fe_prec == "auto":
+            fe_prec = "bf16" if (use_fused and on_tpu) else "highest"
         if use_fused:
             from xritdemod_tpu.ops.clock_pallas import (
                 clock_recovery_block_pallas_batch_cl,
@@ -340,6 +359,7 @@ class Demodulator:
                 self._agc, self._rrc_taps_t, self._costas,
                 interpret=interp,
                 block_k=fe_bu,
+                precision=fe_prec,
             )
             syms, valid, clock_state = clock_recovery_block_pallas_batch_cl(
                 yT, state.clock, self._clock, self.num_slots,

@@ -52,7 +52,7 @@ def _frontend_kernel(
     yr_ref, yi_ref, gout_ref, phout_ref, frout_ref, hrout_ref, hiout_ref,
     win_r, win_i, fir_r, fir_i, st_scr,
     *, rows, nh, G, agc: AgcParams, costas: CostasParams, block_k=0,
-    block_stages="both",
+    block_stages="both", sub=128, precision="highest",
 ):
     rate = jnp.float32(agc.rate)
     ref = jnp.float32(agc.reference)
@@ -133,19 +133,37 @@ def _frontend_kernel(
         g = jax.lax.fori_loop(0, rows, agc_body, st_scr[0])
     st_scr[0] = g
 
-    # ---- RRC: banded-tap matmuls over the window (MXU, one per plane) ---
-    m2 = m2_ref[:]                                        # (rows, rows+nh)
+    # ---- RRC: banded-tap matmuls over the window (MXU, per plane) -------
+    # Sub-tiled: the band matrix only has `ntaps` nonzero diagonals, so a
+    # (rows, rows+nh) dense matmul wastes MXU passes ~rows/ntaps-fold.
+    # Tiling the output rows into `sub`-row strips keeps the operand at
+    # (sub, sub+nh) — 40% less MXU work at rows=256/sub=128 — and is
+    # bit-identical (the extra zeros drop out of the K-accumulation).
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+        "bf16": jax.lax.Precision.DEFAULT,
+    }[precision]
+    m2 = m2_ref[:]                                        # (sub, sub+nh)
+    if precision == "bf16":
+        m2 = m2.astype(jnp.bfloat16)
     for gi in range(G):
-        fir_r[:, gi, :] = jax.lax.dot_general(
-            m2, win_r[:, gi, :], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        fir_i[:, gi, :] = jax.lax.dot_general(
-            m2, win_i[:, gi, :], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        for s0 in range(0, rows, sub):
+            wr = win_r[s0 : s0 + sub + nh, gi, :]
+            wi = win_i[s0 : s0 + sub + nh, gi, :]
+            if precision == "bf16":
+                wr = wr.astype(jnp.bfloat16)
+                wi = wi.astype(jnp.bfloat16)
+            fir_r[s0 : s0 + sub, gi, :] = jax.lax.dot_general(
+                m2, wr, (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+            fir_i[s0 : s0 + sub, gi, :] = jax.lax.dot_general(
+                m2, wi, (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
     # Next step's FIR history = last nh AGC rows.
     win_r[0:nh] = win_r[pl.ds(rows, nh)]
     win_i[0:nh] = win_i[pl.ds(rows, nh)]
@@ -232,7 +250,7 @@ def _frontend_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("agc", "taps", "costas", "rows", "interpret",
-                     "block_k", "block_stages"),
+                     "block_k", "block_stages", "precision"),
 )
 def demod_frontend_pallas(
     x: CF32,
@@ -246,6 +264,7 @@ def demod_frontend_pallas(
     interpret: bool = False,
     block_k: int = 0,
     block_stages: str = "both",
+    precision: str = "highest",
 ) -> tuple[CF32, jax.Array, CF32, CostasState]:
     """AGC -> RRC -> Costas over a channels-last `(T, C)` block.
 
@@ -272,7 +291,8 @@ def demod_frontend_pallas(
     if block_k and rows % block_k:
         raise ValueError(f"rows {rows} not a multiple of block_k {block_k}")
     G = C // 128
-    m2 = jnp.asarray(_band_matrix_np(taps, rows).T)       # (rows, rows+nh)
+    sub = min(rows, 128)                                  # RRC matmul strip
+    m2 = jnp.asarray(_band_matrix_np(taps, sub).T)        # (sub, sub+nh)
 
     f32 = jnp.float32
     planes = lambda a: a.reshape(a.shape[0], G, 128)      # free: row-major
@@ -282,7 +302,8 @@ def demod_frontend_pallas(
     yr, yi, gout, phout, frout, hrout, hiout = pl.pallas_call(
         functools.partial(
             _frontend_kernel, rows=rows, nh=nh, G=G, agc=agc, costas=costas,
-            block_k=block_k, block_stages=block_stages,
+            block_k=block_k, block_stages=block_stages, sub=sub,
+            precision=precision,
         ),
         grid=(T // rows,),
         out_shape=(
