@@ -81,6 +81,9 @@ def bench_demod(mode: str):
     ctile = int(os.environ.get("BENCH_CLOCK_TILE", "0"))
     if ctile:
         cfg = dataclasses.replace(cfg, clock_tile=ctile)
+    csc = int(os.environ.get("BENCH_CLOCK_SUPERCHUNKS", "0"))
+    if csc:
+        cfg = dataclasses.replace(cfg, clock_superchunks=csc)
     demod = ChannelDemodulator(cfg, channels=C, block_len=T)
 
     rng = np.random.default_rng(0)

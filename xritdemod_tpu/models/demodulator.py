@@ -72,6 +72,12 @@ class DemodConfig:
     # tile halves the number of sequential per-symbol passes per
     # tensorcore — measure per shape.
     clock_tile: int = 0
+    # Super-chunks per clock-kernel window DMA (0 = kernel default 64).
+    # Scales the VMEM window scratch ~linearly; ct=512 needs <= 32 to fit.
+    clock_superchunks: int = 0
+    # Rows per fused front-end grid step (0 = auto: 256, dropping to 128
+    # at C >= 2048 where the G=C/128-plane VMEM scratch would overflow).
+    frontend_rows: int = 0
     # Batch-path clock kernel choice: "auto" (default) picks the Pallas
     # kernel (ops/clock_pallas.py — the exact recursion fused on-chip, ~5x
     # the XLA form) whenever running on TPU with channels a multiple of its
@@ -245,6 +251,8 @@ class Demodulator:
                       superchunks=max(2, 512 // K))
         if self.config.clock_tile:
             kw.update(ct=self.config.clock_tile)
+        if self.config.clock_superchunks:
+            kw.update(superchunks=self.config.clock_superchunks)
         if interp:
             kw.update(chunk=min(4, K) if K else 4, superchunks=2)
         return kw
@@ -345,6 +353,9 @@ class Demodulator:
         fe_prec = cfg.frontend_precision
         if fe_prec == "auto":
             fe_prec = "bf16" if (use_fused and on_tpu) else "highest"
+        fe_rows = cfg.frontend_rows
+        if fe_rows == 0:
+            fe_rows = 128 if C_ >= 2048 else 256
         if use_fused:
             from xritdemod_tpu.ops.clock_pallas import (
                 clock_recovery_block_pallas_batch_cl,
@@ -360,10 +371,19 @@ class Demodulator:
                 interpret=interp,
                 block_k=fe_bu,
                 precision=fe_prec,
+                rows=fe_rows,
             )
+            ck_kw = self._clock_pallas_kw(interp)
+            if not interp and C_ >= 1024 and C_ % 512 == 0:
+                # Wider lane tile halves the sequential per-symbol passes
+                # per tensorcore (measured 2877 vs 2639 Msamp/s at
+                # C=1024); superchunks=32 keeps the window scratch within
+                # the 16 MB scoped-VMEM limit at ct=512.
+                ck_kw.setdefault("ct", 512)
+                ck_kw.setdefault("superchunks", 32)
             syms, valid, clock_state = clock_recovery_block_pallas_batch_cl(
                 yT, state.clock, self._clock, self.num_slots,
-                interpret=interp, **self._clock_pallas_kw(interp),
+                interpret=interp, **ck_kw,
             )
             return syms.re, valid, DemodState(
                 dec_hist=dec_hist,
@@ -413,9 +433,13 @@ class Demodulator:
                 clock_recovery_block_pallas_batch,
             )
 
+            ck_kw = self._clock_pallas_kw(interp)
+            if not interp and x.re.shape[0] >= 1024 and x.re.shape[0] % 512 == 0:
+                ck_kw.setdefault("ct", 512)      # see fused path note
+                ck_kw.setdefault("superchunks", 32)
             syms, valid, clock_state = clock_recovery_block_pallas_batch(
                 x, state.clock, self._clock, self.num_slots,
-                interpret=interp, **self._clock_pallas_kw(interp),
+                interpret=interp, **ck_kw,
             )
         elif cfg.clock_block_update:
             syms, valid, clock_state = cr_op.clock_recovery_block_update_batch(
