@@ -49,9 +49,11 @@ def bench_demod(mode: str):
     from xritdemod_tpu.parallel.channels import ChannelDemodulator
     from xritdemod_tpu.utils.cplx import CF32
 
-    # C=1024 measured best on one v5e chip (2639 Msamp/s vs 2557 at 512);
-    # C=2048 exceeds the fused front-end's VMEM scratch at rows=256.
-    C = int(os.environ.get("BENCH_CHANNELS", "1024"))
+    # C=2048 measured best on one v5e chip (3008 Msamp/s vs 2857 at 1024,
+    # 2639 at 512) now that the front-end rows auto-tune fits it in VMEM;
+    # C=4096 exceeds the front-end's VMEM scratch, and T=262144 exceeds the
+    # clock kernel's window scratch (spread bound grows with block length).
+    C = int(os.environ.get("BENCH_CHANNELS", "2048"))
     T = int(os.environ.get("BENCH_BLOCK", str(1 << 17)))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
 
