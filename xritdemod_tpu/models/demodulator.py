@@ -76,8 +76,16 @@ class DemodConfig:
     # Scales the VMEM window scratch ~linearly; ct=512 needs <= 32 to fit.
     clock_superchunks: int = 0
     # Rows per fused front-end grid step (0 = auto: 256, dropping to 128
-    # at C >= 2048 where the G=C/128-plane VMEM scratch would overflow).
+    # at C >= 2048 and 64 at C >= 4096 where the G=C/128-plane VMEM
+    # scratch would overflow).
     frontend_rows: int = 0
+    # Largest block (post-decimation samples) fed to the Pallas clock
+    # kernel in ONE launch; longer blocks split into chained segments —
+    # the kernel's window scratch grows with block length (the channel
+    # index-spread bound) and exceeds the 16 MB scoped-VMEM limit past
+    # ~131072 samples at ct=512.  0 = auto (1<<17).  Segments chain the
+    # carried clock state exactly like consecutive stream blocks do.
+    clock_max_block: int = 0
     # Batch-path clock kernel choice: "auto" (default) picks the Pallas
     # kernel (ops/clock_pallas.py — the exact recursion fused on-chip, ~5x
     # the XLA form) whenever running on TPU with channels a multiple of its
@@ -200,9 +208,19 @@ class Demodulator:
             gain_mu=config.clock_alpha,
             omega_relative_limit=config.clock_omega_limit,
         )
-        self.num_slots = cr_op.max_symbols(
-            block_len // config.decimation, self._clock
-        )
+        # Clock-kernel segmentation for long blocks (see clock_max_block):
+        # blocks past the kernel's VMEM envelope run as chained segments on
+        # the fused batch path; num_slots then budgets per-segment slots.
+        seg = config.clock_max_block or (1 << 17)
+        td = block_len // config.decimation
+        if td > seg and td % seg == 0:
+            self._clock_segs = td // seg
+            self.num_slots = self._clock_segs * cr_op.max_symbols(
+                seg, self._clock
+            )
+        else:
+            self._clock_segs = 1
+            self.num_slots = cr_op.max_symbols(td, self._clock)
         # Static tuple form of the RRC taps for the fused Pallas front-end
         # (its banded matrix is built host-side from a hashable key).
         self._rrc_taps_t = tuple(
@@ -355,7 +373,7 @@ class Demodulator:
             fe_prec = "bf16" if (use_fused and on_tpu) else "highest"
         fe_rows = cfg.frontend_rows
         if fe_rows == 0:
-            fe_rows = 128 if C_ >= 2048 else 256
+            fe_rows = 64 if C_ >= 4096 else 128 if C_ >= 2048 else 256
         if use_fused:
             from xritdemod_tpu.ops.clock_pallas import (
                 clock_recovery_block_pallas_batch_cl,
@@ -381,11 +399,32 @@ class Demodulator:
                 # the 16 MB scoped-VMEM limit at ct=512.
                 ck_kw.setdefault("ct", 512)
                 ck_kw.setdefault("superchunks", 32)
-            syms, valid, clock_state = clock_recovery_block_pallas_batch_cl(
-                yT, state.clock, self._clock, self.num_slots,
-                interpret=interp, **ck_kw,
-            )
-            return syms.re, valid, DemodState(
+            # Long blocks run the clock kernel as chained segments (its
+            # window scratch grows with block length — clock_max_block);
+            # a segment boundary is exactly a stream-block boundary, so
+            # the carried state makes the split bit-identical.
+            segs = self._clock_segs
+            seg_rows = T_ // segs
+            slots_seg = self.num_slots // segs
+            cstate = state.clock
+            sr_parts, v_parts = [], []
+            for i in range(segs):
+                ys = CF32(
+                    yT.re[i * seg_rows:(i + 1) * seg_rows],
+                    yT.im[i * seg_rows:(i + 1) * seg_rows],
+                )
+                s_i, v_i, cstate = clock_recovery_block_pallas_batch_cl(
+                    ys, cstate, self._clock, slots_seg,
+                    interpret=interp, **ck_kw,
+                )
+                sr_parts.append(s_i.re)
+                v_parts.append(v_i)
+            clock_state = cstate
+            syms_re = (sr_parts[0] if segs == 1
+                       else jnp.concatenate(sr_parts, axis=1))
+            valid = (v_parts[0] if segs == 1
+                     else jnp.concatenate(v_parts, axis=1))
+            return syms_re, valid, DemodState(
                 dec_hist=dec_hist,
                 agc_gain=agc_gain,
                 rrc_hist=rrc_hist,
