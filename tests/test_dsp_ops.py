@@ -761,3 +761,88 @@ class TestFirMatmul:
         y2, _ = fir.fir_block_real_matmul(jnp.asarray(x[:, 512:]), taps, h)
         got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
         np.testing.assert_allclose(np.asarray(full), got, atol=2e-5)
+
+
+class TestClockSegmentation:
+    """clock_max_block segmentation: chained per-segment clock launches are
+    bit-identical to one whole-block launch (ADVICE r1: the segs>1 path was
+    merged with zero coverage)."""
+
+    def _run(self, rng, cfg, C=128, T=2048):
+        from tests.test_demod_chain import make_lrit_signal
+        from xritdemod_tpu.models.demodulator import Demodulator
+
+        sig, _ = make_lrit_signal(rng, 1000, cfg)
+        dm = Demodulator(cfg, block_len=T)
+        st = dm.init_state_batch(C)
+        outs = []
+        for b in range(2):
+            x = np.tile(sig[b * T : (b + 1) * T], (C, 1))
+            xc = CF32(jnp.asarray(x.real.astype(np.float32)),
+                      jnp.asarray(x.imag.astype(np.float32)))
+            soft, valid, st = dm.block_batch(xc, st)
+            outs.append((np.asarray(soft), np.asarray(valid)))
+        return dm, outs, st
+
+    def _assert_valid_equal(self, outs_a, outs_b):
+        for (sa, va), (sb, vb) in zip(outs_a, outs_b):
+            assert va.sum() == vb.sum()
+            for c in range(sa.shape[0]):
+                np.testing.assert_array_equal(sa[c][va[c]], sb[c][vb[c]])
+
+    def test_fused_segmented_bit_identical(self, rng):
+        """Fused front-end (interpret) + clock_max_block forcing segs=4 ==
+        the unsegmented fused path, soft[valid] bit for bit."""
+        from xritdemod_tpu.models.demodulator import DemodConfig
+
+        base = dict(sample_rate=1_250_000, frontend_kernel="fused",
+                    clock_kernel="pallas")
+        dm_s, outs_s, st_s = self._run(
+            rng, DemodConfig.lrit(clock_max_block=512, **base))
+        rng2 = np.random.default_rng(1234)
+        dm_u, outs_u, st_u = self._run(rng2, DemodConfig.lrit(**base))
+        assert dm_s._clock_segs == 4 and dm_u._clock_segs == 1
+        self._assert_valid_equal(outs_s, outs_u)
+        np.testing.assert_array_equal(
+            np.asarray(st_s.clock.mu), np.asarray(st_u.clock.mu))
+        np.testing.assert_array_equal(
+            np.asarray(st_s.clock.omega), np.asarray(st_u.clock.omega))
+
+    def test_split_pallas_segmented_bit_identical(self, rng):
+        """Split-kernel Pallas clock path segments the same way (ADVICE r1:
+        clock_max_block previously governed only the fused path)."""
+        from xritdemod_tpu.models.demodulator import DemodConfig
+
+        base = dict(sample_rate=1_250_000, frontend_kernel="split",
+                    clock_kernel="pallas")
+        dm_s, outs_s, st_s = self._run(
+            rng, DemodConfig.lrit(clock_max_block=1024, **base))
+        rng2 = np.random.default_rng(1234)
+        dm_u, outs_u, st_u = self._run(rng2, DemodConfig.lrit(**base))
+        assert dm_s._clock_segs == 2 and dm_u._clock_segs == 1
+        self._assert_valid_equal(outs_s, outs_u)
+        np.testing.assert_array_equal(
+            np.asarray(st_s.clock.mu), np.asarray(st_u.clock.mu))
+
+    def test_non_divisible_cap_falls_back(self):
+        """A cap that doesn't divide the block picks the next segment count
+        whose equal split fits under it (never silently ignored)."""
+        from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
+
+        dm = Demodulator(
+            DemodConfig.lrit(sample_rate=1_250_000, clock_max_block=768),
+            block_len=2048,
+        )
+        assert dm._clock_segs == 4          # 2048/3 doesn't divide; 4 does
+        assert dm.num_slots % dm._clock_segs == 0
+
+    def test_wrong_block_len_raises(self, rng):
+        from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
+
+        dm = Demodulator(DemodConfig.lrit(sample_rate=1_250_000),
+                         block_len=2048)
+        st = dm.init_state_batch(4)
+        x = CF32(jnp.zeros((4, 1024)), jnp.zeros((4, 1024)))
+        st4 = jax.tree.map(lambda a: a[:4], st)
+        with pytest.raises(ValueError, match="block_len"):
+            dm.block_batch(x, st4)

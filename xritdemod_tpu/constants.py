@@ -95,7 +95,7 @@ SYNC_MARKER = 0x1ACFFC1D
 # Convolutional code (CCSDS rate-1/2, K=7).  Polynomials in Phil-Karn bit
 # order as used by libcorrect / SatHelper's Viterbi27 (survey §2c).
 # Convention locked numerically against the published UWs
-# (tests/test_conventions.py): with sr = (sr << 1) | bit,
+# (tests/test_decode_ops.py::TestConvCode): with sr = (sr << 1) | bit,
 #   c1 = parity(sr & 0x4F) ^ 1,  c2 = parity(sr & 0x6D) ^ 1,
 # zero initial state, MSB-first bits, conv_encode(0x1ACFFC1D) == LRIT_UW0
 # exactly (and HRIT_UW0 with NRZ-M precoding, previous encoded bit 0).

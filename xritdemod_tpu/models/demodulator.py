@@ -210,14 +210,17 @@ class Demodulator:
         )
         # Clock-kernel segmentation for long blocks (see clock_max_block):
         # blocks past the kernel's VMEM envelope run as chained segments on
-        # the fused batch path; num_slots then budgets per-segment slots.
+        # the Pallas batch paths; num_slots then budgets per-segment slots.
+        # A non-divisible cap falls back to the smallest segment count whose
+        # equal split fits under it (never silently ignored).
         seg = config.clock_max_block or (1 << 17)
         td = block_len // config.decimation
-        if td > seg and td % seg == 0:
-            self._clock_segs = td // seg
-            self.num_slots = self._clock_segs * cr_op.max_symbols(
-                seg, self._clock
-            )
+        if td > seg:
+            segs = -(-td // seg)          # ceil
+            while td % segs:
+                segs += 1
+            self._clock_segs = segs
+            self.num_slots = segs * cr_op.max_symbols(td // segs, self._clock)
         else:
             self._clock_segs = 1
             self.num_slots = cr_op.max_symbols(td, self._clock)
@@ -274,6 +277,27 @@ class Demodulator:
         if interp:
             kw.update(chunk=min(4, K) if K else 4, superchunks=2)
         return kw
+
+    def _run_clock_segs(self, run_seg, T_: int, cstate):
+        """Run a Pallas clock kernel as `self._clock_segs` chained segments
+        over the time axis (see clock_max_block): a segment boundary is
+        exactly a stream-block boundary, so the carried state makes the
+        split bit-identical to one long launch of a smaller block.
+
+        `run_seg(start, rows, slots, cstate) -> (soft (C, slots), valid,
+        cstate)` runs the kernel on `rows` time samples from `start`.
+        """
+        segs = self._clock_segs
+        seg_rows = T_ // segs
+        slots_seg = self.num_slots // segs
+        sr_parts, v_parts = [], []
+        for i in range(segs):
+            s_i, v_i, cstate = run_seg(i * seg_rows, seg_rows, slots_seg, cstate)
+            sr_parts.append(s_i)
+            v_parts.append(v_i)
+        soft = sr_parts[0] if segs == 1 else jnp.concatenate(sr_parts, axis=1)
+        valid = v_parts[0] if segs == 1 else jnp.concatenate(v_parts, axis=1)
+        return soft, valid, cstate
 
     def _fir_method(self, n_after_decim: int) -> str:
         cfg = self.config
@@ -352,6 +376,16 @@ class Demodulator:
         on_tpu = jax.default_backend() == "tpu"
         interp = not on_tpu     # forced-Pallas off-TPU runs interpret mode
         C_, T_ = x.re.shape
+        # num_slots (and the clock segmentation) were budgeted from
+        # block_len at construction; a different post-decimation length
+        # would silently drop samples in the segment split.
+        expect = self.block_len // cfg.decimation
+        if T_ != expect:
+            raise ValueError(
+                f"block_batch got {T_} post-decimation samples; this "
+                f"Demodulator was built for block_len={self.block_len} "
+                f"(-> {expect})"
+            )
         stream_ok = on_tpu and C_ % 128 == 0 and T_ % 256 == 0
         use_fused = cfg.frontend_kernel == "fused" or (
             cfg.frontend_kernel == "auto"
@@ -400,30 +434,19 @@ class Demodulator:
                 ck_kw.setdefault("ct", 512)
                 ck_kw.setdefault("superchunks", 32)
             # Long blocks run the clock kernel as chained segments (its
-            # window scratch grows with block length — clock_max_block);
-            # a segment boundary is exactly a stream-block boundary, so
-            # the carried state makes the split bit-identical.
-            segs = self._clock_segs
-            seg_rows = T_ // segs
-            slots_seg = self.num_slots // segs
-            cstate = state.clock
-            sr_parts, v_parts = [], []
-            for i in range(segs):
-                ys = CF32(
-                    yT.re[i * seg_rows:(i + 1) * seg_rows],
-                    yT.im[i * seg_rows:(i + 1) * seg_rows],
-                )
+            # window scratch grows with block length — clock_max_block).
+            def run_seg_cl(start, rows, slots, cstate):
+                ys = CF32(yT.re[start:start + rows],
+                          yT.im[start:start + rows])
                 s_i, v_i, cstate = clock_recovery_block_pallas_batch_cl(
-                    ys, cstate, self._clock, slots_seg,
+                    ys, cstate, self._clock, slots,
                     interpret=interp, **ck_kw,
                 )
-                sr_parts.append(s_i.re)
-                v_parts.append(v_i)
-            clock_state = cstate
-            syms_re = (sr_parts[0] if segs == 1
-                       else jnp.concatenate(sr_parts, axis=1))
-            valid = (v_parts[0] if segs == 1
-                     else jnp.concatenate(v_parts, axis=1))
+                return s_i.re, v_i, cstate
+
+            syms_re, valid, clock_state = self._run_clock_segs(
+                run_seg_cl, T_, state.clock
+            )
             return syms_re, valid, DemodState(
                 dec_hist=dec_hist,
                 agc_gain=agc_gain,
@@ -476,9 +499,27 @@ class Demodulator:
             if not interp and x.re.shape[0] >= 1024 and x.re.shape[0] % 512 == 0:
                 ck_kw.setdefault("ct", 512)      # see fused path note
                 ck_kw.setdefault("superchunks", 32)
-            syms, valid, clock_state = clock_recovery_block_pallas_batch(
-                x, state.clock, self._clock, self.num_slots,
-                interpret=interp, **ck_kw,
+
+            # Same chained-segment split as the fused path (the kernel's
+            # window scratch grows with block length — clock_max_block).
+            def run_seg(start, rows, slots, cstate):
+                xs = CF32(x.re[:, start:start + rows],
+                          x.im[:, start:start + rows])
+                s_i, v_i, cstate = clock_recovery_block_pallas_batch(
+                    xs, cstate, self._clock, slots,
+                    interpret=interp, **ck_kw,
+                )
+                return s_i.re, v_i, cstate
+
+            soft, valid, clock_state = self._run_clock_segs(
+                run_seg, T_, state.clock
+            )
+            return soft, valid, DemodState(
+                dec_hist=dec_hist,
+                agc_gain=agc_gain,
+                rrc_hist=rrc_hist,
+                costas=costas_state,
+                clock=clock_state,
             )
         elif cfg.clock_block_update:
             syms, valid, clock_state = cr_op.clock_recovery_block_update_batch(
