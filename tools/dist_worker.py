@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""One process of a multi-host distributed receive (tests/test_distributed.py
+launches two; also the template for a real N-host launch).
+
+Usage: dist_worker.py <process_id> <num_processes> <port> [devices_per_proc]
+
+Joins a `jax.distributed` group over CPU devices (gloo collectives — the
+DCN stand-in) and checks, exiting nonzero on any failure:
+  1. channels: DistributedChannelReceiver demod over the (hosts, chips)
+     mesh matches the local unsharded chain for this process's channels,
+     and the sharded CADU decode round-trips bit-exactly.
+  2. timeblocks: DistributedTimeBlockDemodulator recovers locked symbols
+     that agree with the serial chain, with the ppermute halo crossing the
+     process boundary.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+ndev = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={ndev} "
+    + os.environ.get("XLA_FLAGS", "")
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from xritdemod_tpu.models.decoder import DecoderConfig  # noqa: E402
+from xritdemod_tpu.models.demodulator import (  # noqa: E402
+    DemodConfig,
+    Demodulator,
+)
+from xritdemod_tpu.parallel import distributed as dist  # noqa: E402
+from xritdemod_tpu.utils.cplx import from_complex  # noqa: E402
+
+
+def log(*a):
+    print(f"[p{pid}]", *a, flush=True)
+
+
+def make_channel_signal(chan: int, T: int, cfg) -> np.ndarray:
+    """Deterministic per-global-channel LRIT signal (any process can
+    synthesize any channel's stream)."""
+    from tests.test_demod_chain import make_lrit_signal
+
+    rng = np.random.default_rng(1000 + chan)
+    sig, _ = make_lrit_signal(rng, int(T / cfg.sps) + 200, cfg)
+    return sig[:T]
+
+
+def check_channels(mesh):
+    cfg = DemodConfig.lrit(sample_rate=1_250_000)
+    T = 1 << 13
+    rx = dist.DistributedChannelReceiver(
+        cfg,
+        DecoderConfig(mode="lrit", frames_per_block=1),
+        channels_per_device=2,
+        block_len=T,
+        mesh=mesh,
+    )
+    CL = rx.channels_local
+    first = pid * CL
+    sig = np.stack(
+        [make_channel_signal(first + i, T, cfg) for i in range(CL)]
+    )
+
+    state = rx.init_demod_state()
+    soft, valid, state = rx.demod_block(sig, state)
+    assert soft.shape == (CL, rx.num_slots), soft.shape
+
+    # Local unsharded reference over the same channels.
+    ref = Demodulator(cfg, block_len=T)
+    rs, rv, _ = jax.jit(ref.block_batch)(
+        from_complex(sig), ref.init_state_batch(CL)
+    )
+    assert np.array_equal(valid, np.asarray(rv)), "valid mismatch"
+    np.testing.assert_allclose(soft, np.asarray(rs), atol=1e-5)
+    log(f"channels: {CL} local ch match unsharded (of {rx.channels} global)")
+
+    # Sharded decode: one frame per channel, bit-exact round trip.
+    from xritdemod_tpu import tx
+
+    rng = np.random.default_rng(7)
+    vcdus_all = tx.make_vcdus(rx.channels, rng=rng)  # same on every process
+    frames = np.stack(
+        [
+            tx.encode_stream(
+                vcdus_all[c : c + 1],
+                amp=0.8,
+                noise=0.1,
+                rng=np.random.default_rng(2000 + c),
+            )
+            for c in range(first, first + CL)
+        ]
+    )
+    batch, _ = rx.decode_block(frames, rx.init_tails())
+    ok = np.asarray(batch.frame_ok).reshape(-1)
+    assert ok.all(), f"decode dropped frames: {ok}"
+    assert np.array_equal(
+        np.asarray(batch.vcdu).reshape(CL, -1), vcdus_all[first : first + CL]
+    ), "sharded decode not bit-exact"
+    log(f"decode: {CL} local frames bit-exact")
+
+
+def check_timeblocks(mesh):
+    from tests.test_demod_chain import make_lrit_signal
+
+    cfg = DemodConfig.lrit(sample_rate=1_250_000)
+    block = 1 << 14
+    tb = dist.DistributedTimeBlockDemodulator(
+        cfg, block_len=block, warmup=8192, mesh=mesh
+    )
+    D = tb.n_devices
+    total = D * block
+    rng = np.random.default_rng(42)  # same capture on every process
+    sig, _ = make_lrit_signal(rng, int(total / cfg.sps) + 400, cfg)
+    sig = sig[:total]
+
+    lo = pid * tb.n_local * block
+    hi = lo + tb.n_local * block
+    soft, valid = tb.process_local(sig[lo:hi])
+    assert soft.shape[0] == tb.n_local
+
+    # Locked eye on every non-cold local block.
+    for i in range(tb.n_local):
+        d = pid * tb.n_local + i
+        if d == 0:
+            continue
+        s = soft[i][valid[i]]
+        tail = s[len(s) // 2 :]
+        eye = np.abs(tail).mean() / (np.abs(tail).std() + 1e-9)
+        assert eye > 3.0, f"block {d} eye {eye}"
+
+    # Symbol decisions agree with the serial chain (first non-cold local
+    # block; alignment search absorbs the re-lock timing offset).
+    demod = Demodulator(cfg, block_len=block)
+    st = demod.init_state()
+    serial = []
+    for d in range(D):
+        s, v, st = demod.process(sig[d * block : (d + 1) * block], st)
+        serial.append(np.asarray(s)[np.asarray(v)])
+    serial = np.concatenate(serial)
+    i = 0 if pid > 0 else 1
+    d = pid * tb.n_local + i
+    s1 = soft[i][valid[i]]
+    got = (s1[200:1200] < 0).astype(int)
+    base = int(d * block / cfg.sps)
+    best = 0.0
+    for off in range(-40, 41):
+        w = (serial[base + 200 + off : base + 200 + off + len(got)] < 0)
+        w = w.astype(int)
+        n = min(len(w), len(got))
+        agree = max((got[:n] == w[:n]).mean(), (got[:n] != w[:n]).mean())
+        best = max(best, agree)
+    assert best > 0.98, f"block {d} agreement {best}"
+    log(f"timeblocks: block {d} agreement {best:.3f} across host boundary")
+
+
+def main():
+    ok = dist.initialize(f"127.0.0.1:{port}", nproc, pid)
+    assert ok, "distributed group not active"
+    assert jax.process_count() == nproc
+    assert jax.device_count() == ndev * nproc, jax.device_count()
+    log(
+        f"joined: {jax.process_count()} processes x "
+        f"{jax.local_device_count()} devices"
+    )
+    mesh = dist.make_host_mesh()
+    assert mesh.shape == {"host": nproc, "chip": ndev}, mesh.shape
+    check_channels(mesh)
+    check_timeblocks(mesh)
+    log("ALL OK")
+
+
+if __name__ == "__main__":
+    main()

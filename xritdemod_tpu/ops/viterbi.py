@@ -30,7 +30,9 @@ from xritdemod_tpu.ops import conv_code
 __all__ = ["viterbi_decode", "reencode_bits", "corrected_bits"]
 
 _NS = conv_code.NUM_STATES  # 64
-_NEG = jnp.float32(-1e30)
+# Plain numpy so importing this module never initializes the XLA backend
+# (jax.distributed.initialize must come first in multi-host entrypoints).
+_NEG = np.float32(-1e30)
 
 
 @functools.lru_cache(maxsize=None)
