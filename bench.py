@@ -6,8 +6,11 @@ channel-batched block, the TPU-native replacement for the reference's
 single-stream real-time pipeline.
 
 Selectable via env:
-  BENCH_KIND=demod|decode   (default demod)
-  BENCH_MODE=lrit|hrit      (default lrit)
+  BENCH_KIND=demod|decode|rx  (default demod; rx = the fused on-device
+                               receive, IQ in -> VCDUs out, no host hop)
+  BENCH_MODE=lrit|hrit        (default lrit)
+  BENCH_SIGNAL=1              (demod kind: feed a locked modulated capture
+                               instead of Gaussian noise)
   BENCH_CHANNELS / BENCH_BLOCK / BENCH_ITERS / BENCH_FRAMES
 
 vs_baseline is the multiple of the reference's implied real-time operating
@@ -89,10 +92,19 @@ def bench_demod(mode: str):
     demod = ChannelDemodulator(cfg, channels=C, block_len=T)
 
     rng = np.random.default_rng(0)
-    x = CF32(
-        jnp.asarray(rng.normal(0, 0.3, (C, T)).astype(np.float32)),
-        jnp.asarray(rng.normal(0, 0.3, (C, T)).astype(np.float32)),
-    )
+    if os.environ.get("BENCH_SIGNAL", "0") == "1":
+        # A locked modulated capture (the kernels are static-shape/dense so
+        # throughput is data-independent; this point proves it).
+        sig = _make_signal_blocks(cfg, T, 1, rng)[0]
+        x = CF32(
+            jnp.asarray(np.tile(sig.real.astype(np.float32), (C, 1))),
+            jnp.asarray(np.tile(sig.imag.astype(np.float32), (C, 1))),
+        )
+    else:
+        x = CF32(
+            jnp.asarray(rng.normal(0, 0.3, (C, T)).astype(np.float32)),
+            jnp.asarray(rng.normal(0, 0.3, (C, T)).astype(np.float32)),
+        )
     state = demod.init_state()
 
     t0 = time.perf_counter()
@@ -137,6 +149,99 @@ def bench_demod(mode: str):
         f"# kind=demod mode={mode} channels={C} block={T} iters={iters} "
         f"times={[round(t, 3) for t in times]} "
         f"pipelined={pipelined:.3f} backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+def _make_signal_blocks(cfg, T, nblocks, rng, lrit=True):
+    """Contiguous modulated capture carrying real CADU frames, split into
+    `(T,)` complex64 blocks (the locked-signal bench input)."""
+    from xritdemod_tpu import tx
+
+    total = nblocks * T
+    nframes = int(total / cfg.sps / 16384) + 3
+    vcdus = tx.make_vcdus(nframes, scid=13, vcid=5, rng=rng)
+    symbols = tx.encode_stream(vcdus, lrit=lrit, amp=1.0, rng=rng)
+    sig = tx.modulate(symbols, cfg, rng)
+    assert len(sig) >= total, (len(sig), total)
+    return [sig[i * T : (i + 1) * T] for i in range(nblocks)]
+
+
+def bench_rx(mode: str):
+    """Whole-receive throughput, fully on-device: IQ in -> VCDUs out
+    (demod chain -> per-channel symbol ring -> sync -> Viterbi -> RS) with
+    no host symbol hop, pipelined through the carried state."""
+    import jax
+    import jax.numpy as jnp
+
+    from xritdemod_tpu.models.decoder import DecoderConfig
+    from xritdemod_tpu.models.demodulator import DemodConfig
+    from xritdemod_tpu.models.receiver import FusedReceiver
+    from xritdemod_tpu.utils.cplx import CF32
+
+    C_ = int(os.environ.get("BENCH_CHANNELS", "1024"))
+    T = int(os.environ.get("BENCH_BLOCK", str(1 << 17)))
+    iters = int(os.environ.get("BENCH_ITERS", "6"))
+    nblocks = min(iters, int(os.environ.get("BENCH_RX_BLOCKS", "6")))
+
+    if mode == "hrit":
+        cfg = DemodConfig.hrit(sample_rate=HRIT_RATE)
+        baseline_msps = HRIT_RATE / 1e6
+    else:
+        cfg = DemodConfig.lrit(sample_rate=LRIT_RATE)
+        baseline_msps = LRIT_RATE / 1e6
+    rx = FusedReceiver(
+        cfg, DecoderConfig(mode=mode), channels=C_, block_len=T
+    )
+    rng = np.random.default_rng(0)
+    blocks = _make_signal_blocks(cfg, T, nblocks, rng, lrit=mode == "lrit")
+    xs = [
+        CF32(
+            jnp.asarray(np.tile(b.real.astype(np.float32), (C_, 1))),
+            jnp.asarray(np.tile(b.imag.astype(np.float32), (C_, 1))),
+        )
+        for b in blocks
+    ]
+    st = rx.init_state()
+
+    t0 = time.perf_counter()
+    batch, ok, ovf, st = rx.step(xs[0], st)
+    _sync(batch.vit_errors[0, 0])
+    print(f"# compile+first {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    # lock-in warmup
+    for i in (1, 2):
+        batch, ok, ovf, st = rx.step(xs[i % nblocks], st)
+    _sync(batch.vit_errors[0, 0])
+
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(iters):
+        batch, ok, ovf, st = rx.step(xs[(3 + i) % nblocks], st)
+        outs.append((batch.frame_ok, ok))
+    _sync(batch.vit_errors[0, 0])
+    dt = (time.perf_counter() - t0) / iters
+
+    good = sum(int(np.asarray(f).sum()) for f, _ in outs)
+    popped = sum(int(np.asarray(o).sum()) for _, o in outs)
+    msps = C_ * T / dt / 1e6
+    fps = good / (dt * iters)
+    assert good > 0.5 * popped, f"rx integrity: {good}/{popped} frames ok"
+    suffix = "" if mode == "lrit" else f"_{mode}"
+    print(
+        json.dumps(
+            {
+                "metric": f"rx_throughput_per_chip{suffix}",
+                "value": round(msps, 2),
+                "unit": "Msamples/s",
+                "vs_baseline": round(msps / baseline_msps, 1),
+            }
+        )
+    )
+    print(
+        f"# kind=rx mode={mode} channels={C_} block={T} k={rx.k} "
+        f"ring={rx.ring_len} iters={iters} pipelined={dt:.3f} "
+        f"frames/s={fps:.0f} good={good}/{popped} "
+        f"backend={jax.default_backend()}",
         file=sys.stderr,
     )
 
@@ -220,6 +325,8 @@ def main():
     mode = os.environ.get("BENCH_MODE", "lrit")
     if kind == "decode":
         bench_decode(mode)
+    elif kind == "rx":
+        bench_rx(mode)
     else:
         bench_demod(mode)
 

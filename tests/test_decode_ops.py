@@ -247,3 +247,41 @@ class TestViterbiPallas:
         )
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
         np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+class TestDecodeMulti:
+    def test_multi_matches_sequential_decode_frames(self, rng):
+        """decode_multi (B, F, 16384) == F sequential decode_frames calls
+        with chained tails, field for field."""
+        import jax.numpy as jnp
+
+        from xritdemod_tpu import tx
+        from xritdemod_tpu.models.decoder import CaduDecoder, DecoderConfig
+
+        B, F = 3, 2
+        dec = CaduDecoder(DecoderConfig(mode="lrit"))
+        frames = np.stack([
+            tx.encode_stream(
+                tx.make_vcdus(F, vcid=b + 1, rng=np.random.default_rng(b)),
+                lrit=True, amp=0.9, noise=0.1,
+                rng=np.random.default_rng(10 + b),
+            ).reshape(F, 16384)
+            for b in range(B)
+        ])                                                  # (B, F, 16384)
+        tails0 = jnp.zeros((B, 64), jnp.float32)
+
+        mb, mt = dec._decode_multi(jnp.asarray(frames), tails0)
+
+        tails = tails0
+        seq = []
+        for f in range(F):
+            b1, tails = dec._decode_frames(jnp.asarray(frames[:, f]), tails)
+            seq.append(b1)
+        for name in mb._fields:
+            got = np.asarray(getattr(mb, name))
+            want = np.stack(
+                [np.asarray(getattr(b1, name)) for b1 in seq], axis=1
+            )
+            np.testing.assert_array_equal(got, want, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(mt[:, -1]), np.asarray(tails))
+        assert np.asarray(mb.frame_ok).all()

@@ -1,0 +1,210 @@
+"""Fused on-device receiver: IQ -> VCDUs with no host symbol hop.
+
+Checks the ring kernels against a numpy FIFO reference and the whole fused
+step (models/receiver.FusedReceiver, interpret-mode Pallas on CPU) against
+the round-1 host path (same demod + models/decoder.StreamDecoder per
+channel): every recovered frame must match bit-for-bit, in order.
+"""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xritdemod_tpu import tx
+from xritdemod_tpu.models.decoder import DecoderConfig, StreamDecoder
+from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
+from xritdemod_tpu.utils.cplx import CF32
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+class TestRingKernels:
+    def test_append_extract_matches_numpy_fifo(self, rng):
+        from xritdemod_tpu.ops.ring_pallas import ring_append, ring_extract
+
+        C, L, S, E = 8, 1024, 300, 256
+        ring = jnp.zeros((C, L), jnp.float32)
+        fill = jnp.zeros((C,), jnp.int32)
+        ref = [np.zeros(0, np.float32) for _ in range(C)]
+        for _ in range(6):
+            new = rng.normal(size=(C, S)).astype(np.float32)
+            n = rng.integers(100, S + 1, size=C).astype(np.int32)
+            ring, fill, ovf = ring_append(
+                ring, fill, jnp.asarray(new), jnp.asarray(n), interpret=True
+            )
+            assert not np.asarray(ovf).any()
+            for c in range(C):
+                ref[c] = np.concatenate([ref[c], new[c, : n[c]]])
+            r, f = np.asarray(ring), np.asarray(fill)
+            for c in range(C):
+                assert f[c] == len(ref[c])
+                np.testing.assert_array_equal(r[c, : f[c]], ref[c])
+                assert (r[c, f[c] :] == 0).all()
+
+            pos = rng.integers(0, 60, size=C).astype(np.int32)
+            ring, fill, out, ok = ring_extract(
+                ring, fill, jnp.asarray(pos), E, interpret=True
+            )
+            r, f, o, okh = map(np.asarray, (ring, fill, out, ok))
+            for c in range(C):
+                want = len(ref[c]) >= pos[c] + E
+                assert okh[c] == want
+                if want:
+                    np.testing.assert_array_equal(
+                        o[c], ref[c][pos[c] : pos[c] + E]
+                    )
+                    ref[c] = ref[c][pos[c] + E :]
+                assert f[c] == len(ref[c])
+                np.testing.assert_array_equal(r[c, : f[c]], ref[c])
+
+    def test_append_overflow_drops_block(self, rng):
+        from xritdemod_tpu.ops.ring_pallas import ring_append
+
+        C, L, S = 8, 512, 200
+        ring = jnp.asarray(
+            np.concatenate(
+                [np.ones((C, L - 50), np.float32),
+                 np.zeros((C, 50), np.float32)], axis=1,
+            )
+        )
+        fill = jnp.full((C,), L - 50, jnp.int32)
+        new = rng.normal(size=(C, S)).astype(np.float32)
+        r2, f2, ovf = ring_append(
+            ring, fill, jnp.asarray(new),
+            jnp.full((C,), S, jnp.int32), interpret=True,
+        )
+        assert np.asarray(ovf).all()
+        assert (np.asarray(f2) == L - 50).all()
+        np.testing.assert_array_equal(np.asarray(r2), np.asarray(ring))
+
+
+def _make_capture(rng, cfg, channels, frames_per_channel):
+    """Per-channel IQ captures carrying real CADU streams (distinct VCIDs)."""
+    from test_runtime import _modulate
+
+    sigs, vcdus = [], []
+    for c in range(channels):
+        v = tx.make_vcdus(
+            frames_per_channel, scid=13, vcid=c + 1, counter0=100 * c,
+            rng=np.random.default_rng(50 + c),
+        )
+        symbols = tx.encode_stream(
+            v, lrit=True, amp=1.0, rng=np.random.default_rng(90 + c)
+        )
+        sigs.append(_modulate(symbols, cfg, np.random.default_rng(10 + c)))
+        vcdus.append(v)
+    n = min(len(s) for s in sigs)
+    return np.stack([s[:n] for s in sigs]), vcdus
+
+
+def _frames_of(batchlist):
+    """[(channel, vcid, counter, vcdu bytes)] in stream order per batch."""
+    out = []
+    for b in batchlist:
+        ok = np.asarray(b.frame_ok)
+        vcid = np.asarray(b.vcid)
+        ctr = np.asarray(b.counter)
+        vc = np.asarray(b.vcdu)
+        for i in range(len(ok)):
+            if ok[i]:
+                out.append((int(vcid[i]), int(ctr[i]), bytes(vc[i])))
+    return out
+
+
+class TestFusedReceiver:
+    def test_matches_stream_decoder_path(self, rng):
+        """FusedReceiver (on-device ring + decode) recovers exactly the
+        frames the host StreamDecoder path recovers from the same demod
+        output, bit-for-bit and in order, per channel."""
+        from xritdemod_tpu.models.receiver import FusedReceiver
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        # frames_per_block=1 so the host reference consumes frames at the
+        # same greedy cadence as the fused path (a 2-frame batch leaves a
+        # leftover at stream end that only flush() would drain).
+        dcfg = DecoderConfig(mode="lrit", frames_per_block=1)
+        Cn, T = 4, 1 << 15
+        sig, _ = _make_capture(rng, cfg, Cn, frames_per_channel=5)
+        nblocks = sig.shape[1] // T
+
+        rx = FusedReceiver(cfg, dcfg, channels=Cn, block_len=T)
+        st = rx.init_state()
+        fused: list[list] = [[] for _ in range(Cn)]
+        for b in range(nblocks):
+            x = sig[:, b * T : (b + 1) * T]
+            batch, ok, ovf, st = rx.step(x, st)
+            assert not np.asarray(ovf).any()
+            okh = np.asarray(ok)
+            vcid = np.asarray(batch.vcid)
+            ctr = np.asarray(batch.counter)
+            fok = np.asarray(batch.frame_ok)
+            vc = np.asarray(batch.vcdu)
+            for c in range(Cn):
+                for j in range(rx.k):
+                    if okh[c, j] and fok[c, j]:
+                        fused[c].append(
+                            (int(vcid[c, j]), int(ctr[c, j]),
+                             bytes(vc[c, j]))
+                        )
+
+        # Reference: identical demod (same function, same blocks), host
+        # StreamDecoder per channel.
+        demod = Demodulator(cfg, block_len=T)
+        dst = demod.init_state_batch(Cn)
+        decoders = [StreamDecoder(dcfg) for _ in range(Cn)]
+        ref: list[list] = [[] for _ in range(Cn)]
+        for b in range(nblocks):
+            x = sig[:, b * T : (b + 1) * T]
+            xc = CF32(
+                jnp.asarray(x.real.astype(np.float32)),
+                jnp.asarray(x.imag.astype(np.float32)),
+            )
+            soft, valid, dst = demod.block_batch(xc, dst)
+            sh, vh = np.asarray(soft), np.asarray(valid)
+            for c in range(Cn):
+                for bb in decoders[c].push(sh[c][vh[c]]):
+                    ref[c].extend(_frames_of([bb]))
+
+        for c in range(Cn):
+            assert len(fused[c]) > 0, f"channel {c} recovered nothing"
+            assert fused[c] == ref[c], (
+                f"channel {c}: fused {len(fused[c])} frames != "
+                f"stream {len(ref[c])}"
+            )
+
+    def test_relocks_after_stream_gap(self, rng):
+        """A noise gap mid-capture unlocks the channel; the fused receiver
+        re-acquires and recovers the post-gap frames (reference flywheel
+        behaviour, newdecoder.cpp:218-237)."""
+        from xritdemod_tpu.models.receiver import FusedReceiver
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        dcfg = DecoderConfig(mode="lrit", frames_per_block=1)
+        Cn, T = 1, 1 << 15
+        sig, _ = _make_capture(rng, cfg, Cn, frames_per_channel=3)
+        gap = (rng.normal(size=(Cn, 3 * (1 << 14)))
+               + 1j * rng.normal(size=(Cn, 3 * (1 << 14)))) * 0.02
+        sig2, _ = _make_capture(
+            np.random.default_rng(777), cfg, Cn, frames_per_channel=3
+        )
+        full = np.concatenate(
+            [sig, gap.astype(np.complex64), sig2], axis=1
+        )
+        nblocks = full.shape[1] // T
+
+        rx = FusedReceiver(cfg, dcfg, channels=Cn, block_len=T)
+        st = rx.init_state()
+        got = []
+        for b in range(nblocks):
+            batch, ok, _, st = rx.step(full[:, b * T : (b + 1) * T], st)
+            okh, fok = np.asarray(ok), np.asarray(batch.frame_ok)
+            ctr = np.asarray(batch.counter)
+            for j in range(rx.k):
+                if okh[0, j] and fok[0, j]:
+                    got.append(int(ctr[0, j]))
+        # Frames from both sides of the gap (counter0=0 for channel 0 in
+        # both halves; at least 2 of 3 frames per side survive edges).
+        assert len(got) >= 4, got

@@ -268,25 +268,8 @@ class TestReceiverApp:
 
 
 def _modulate(symbols: np.ndarray, cfg, rng) -> np.ndarray:
-    """BPSK-modulate soft symbols at cfg.sps with RRC shaping + impairments."""
-    from xritdemod_tpu.ops import filters
-
-    sps = cfg.sps
-    os_factor = 4
-    ntaps = 127
-    nsym = len(symbols)
-    fine_len = int(nsym * sps * os_factor) + ntaps * os_factor
-    impulses = np.zeros(fine_len)
-    pos = (np.arange(nsym) * sps * os_factor).astype(np.int64)
-    impulses[pos] = symbols
-    fine_rate = cfg.circuit_sample_rate * os_factor
-    rc = filters.rrc_taps(1.0, fine_rate, cfg.symbol_rate, cfg.rrc_alpha, ntaps * os_factor)
-    shaped = np.convolve(impulses, rc.astype(np.float64) * os_factor, mode="same")
-    sig = shaped[::os_factor].astype(np.complex128)
-    n = np.arange(len(sig))
-    sig = sig * np.exp(1j * (2 * np.pi * 1e-4 * n + 0.4)) * 0.3
-    sig += (rng.normal(size=len(sig)) + 1j * rng.normal(size=len(sig))) * 0.01
-    return sig.astype(np.complex64)
+    """BPSK-modulate soft symbols (shared fixture, xritdemod_tpu/tx.py)."""
+    return tx.modulate(symbols, cfg, rng)
 
 
 class TestCheckpoint:

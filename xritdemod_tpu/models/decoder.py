@@ -57,6 +57,11 @@ class DecoderConfig:
     # windows, cutting the sequential ACS depth ~S-fold.  -1 = auto (8 on
     # TPU, off elsewhere), 0 = plain kernel, >=2 = explicit segment count.
     viterbi_segments: int = -1
+    # Corrupted-frame forensics (newdecoder.cpp:323-328): when True, the
+    # FrameBatch also carries the wire-quantized coded frame, the
+    # post-Viterbi frame bytes, and the RS-corrected bytes, so the host
+    # can dump failed frames like ChannelWriter.cpp:25-65.
+    forensics: bool = False
 
     @property
     def lrit(self) -> bool:
@@ -98,6 +103,8 @@ class CaduDecoder:
         self._templates = corr_op.make_templates(config.uws)
         B = config.frames_per_block
         self._decode = jax.jit(functools.partial(self._decode_impl, B=B))
+        self._decode_frames = jax.jit(self._decode_frames_impl)
+        self._decode_multi = jax.jit(self._decode_multi_impl)
         self._sync = jax.jit(self._sync_impl)
 
     # -- sync acquisition: full correlation over one coded frame ----------
@@ -112,39 +119,77 @@ class CaduDecoder:
         newdecoder.cpp:141-144 — neutral soft 0 here)."""
         return jnp.zeros((_HIST,), jnp.float32)
 
-    # -- the batched decode step ------------------------------------------
-    def _decode_impl(self, soft: jax.Array, tail: jax.Array, *, B: int):
+    # -- shared sync recheck + phase fix ------------------------------------
+    def _sync_and_fix(self, frames: jax.Array):
+        """`(B, 16384)` raw soft frames -> (fixed frames, word, corr,
+        sync_ok): the per-frame flywheel recheck (newdecoder.cpp:218-237,
+        vectorized) and the LRIT 180-degree phase fix
+        (newdecoder.cpp:267-270; HRIT's NRZ-M self-resolves)."""
         cfg = self.config
-        soft = soft.astype(jnp.float32)
-
-        # Per-frame sync recheck at every expected frame start (the
-        # reference flywheel, newdecoder.cpp:218-237, vectorized).  Starts
-        # are regular (k*_CODED) so the windows come from a reshape — a
-        # vmap'd dynamic_slice would serialize one row per frame on TPU.
-        win = soft.reshape(B, _CODED)[:, : corr_op.UW_BITS]
+        win = frames[:, : corr_op.UW_BITS]
         signs = jnp.where(win < 0, -1.0, 1.0).astype(jnp.float32)
         counts = (corr_op.UW_BITS + signs @ self._templates.T) * 0.5  # (B, W)
         word = jnp.argmax(counts, axis=-1).astype(jnp.int32)
         corr = jnp.max(counts, axis=-1)
         sync_ok = corr >= cfg.min_correlation_bits
-
-        # Phase-ambiguity fix, LRIT only (newdecoder.cpp:267-270); HRIT's
-        # NRZ-M self-resolves.  Applied per frame region so an intra-batch
-        # phase flip is handled.
         if cfg.lrit:
             sign = jnp.where(word % 2 == 1, -1.0, 1.0)       # (B,)
-            fixed = (soft.reshape(B, _CODED) * sign[:, None]).reshape(-1)
+            fixed = frames * sign[:, None]
         else:
-            fixed = soft
+            fixed = frames
+        return fixed, word, corr, sync_ok
 
-        # Extended frames with 64-symbol history overlap: each frame is
-        # prefixed by the previous frame's last 64 symbols (frame 0 by the
-        # carried tail) — pure reshape+concat, no per-frame slicing.
-        frames0 = fixed.reshape(B, _CODED)
+    # -- the batched decode step ------------------------------------------
+    def _decode_impl(self, soft: jax.Array, tail: jax.Array, *, B: int):
+        soft = soft.astype(jnp.float32)
+        frames, word, corr, sync_ok = self._sync_and_fix(
+            soft.reshape(B, _CODED)
+        )
+        # Each frame's 64-symbol Viterbi history is the previous frame's
+        # tail in the contiguous stream (frame 0 uses the carried tail) —
+        # pure reshape+concat, no per-frame slicing.
         prev_tails = jnp.concatenate(
-            [tail[None, :], frames0[:-1, -_HIST:]], axis=0
+            [tail[None, :], frames[:-1, -_HIST:]], axis=0
         )                                                     # (B, 64)
-        ext = jnp.concatenate([prev_tails, frames0], axis=1)  # (B, 16448)
+        batch = self._fec_stack(frames, prev_tails, word, corr, sync_ok)
+        return batch, frames[-1, -_HIST:]
+
+    def _decode_frames_impl(self, frames: jax.Array, tails: jax.Array):
+        """Decode `(B, 16384)` independent frames, each with its OWN
+        carried `(B, 64)` history tail — the entry the fused on-device
+        receiver uses, where B is the channel axis and consecutive calls
+        chain each channel's tail through its own stream."""
+        frames = frames.astype(jnp.float32)
+        fixed, word, corr, sync_ok = self._sync_and_fix(frames)
+        batch = self._fec_stack(fixed, tails, word, corr, sync_ok)
+        return batch, fixed[:, -_HIST:]
+
+    def _decode_multi_impl(self, frames: jax.Array, tails: jax.Array):
+        """Decode `(B, F, 16384)`: F consecutive frames per stream, tails
+        chained within each stream (frame f's Viterbi history is frame
+        f-1's tail; frame 0 uses the carried `(B, 64)` tail).  Returns a
+        FrameBatch with `(B, F)`-leading fields and `(B, F, 64)` per-frame
+        tails (the caller picks the last valid one to carry)."""
+        B, F = frames.shape[0], frames.shape[1]
+        flat = frames.reshape(B * F, _CODED).astype(jnp.float32)
+        fixed, word, corr, sync_ok = self._sync_and_fix(flat)
+        fx = fixed.reshape(B, F, _CODED)
+        prev = jnp.concatenate(
+            [tails[:, None, :], fx[:, :-1, -_HIST:]], axis=1
+        )                                                      # (B, F, 64)
+        batch = self._fec_stack(
+            fixed, prev.reshape(B * F, _HIST), word, corr, sync_ok
+        )
+        batch = jax.tree.map(
+            lambda a: a.reshape((B, F) + a.shape[1:]), batch
+        )
+        return batch, fx[:, :, -_HIST:]
+
+    # -- the FEC stack (Viterbi -> NRZ-M -> derandomize -> RS -> header) ----
+    def _fec_stack(self, frames, prev_tails, word, corr, sync_ok):
+        cfg = self.config
+        B = frames.shape[0]
+        ext = jnp.concatenate([prev_tails, frames], axis=1)   # (B, 16448)
 
         on_tpu = jax.default_backend() == "tpu"
         segs = cfg.viterbi_segments
@@ -195,22 +240,18 @@ class CaduDecoder:
         )
 
         vcdu = corrected[:, : C.VCDU_SIZE]
-        new_tail = fixed[-_HIST:]
-        return (
-            FrameBatch(
-                vcdu=vcdu,
-                frame_ok=frame_ok,
-                sync_ok=sync_ok,
-                scid=scid,
-                vcid=vcid,
-                counter=counter,
-                vit_errors=vit_errors,
-                rs_errors=rs_errors,
-                corr=corr,
-                word=word,
-                sync_word=sync_word,
-            ),
-            new_tail,
+        return FrameBatch(
+            vcdu=vcdu,
+            frame_ok=frame_ok,
+            sync_ok=sync_ok,
+            scid=scid,
+            vcid=vcid,
+            counter=counter,
+            vit_errors=vit_errors,
+            rs_errors=rs_errors,
+            corr=corr,
+            word=word,
+            sync_word=sync_word,
         )
 
     # -- public API ---------------------------------------------------------
@@ -222,6 +263,11 @@ class CaduDecoder:
     def decode_block(self, soft, tail) -> tuple[FrameBatch, jax.Array]:
         """Decode `(B*16384,)` aligned soft symbols; returns batch + tail."""
         return self._decode(jnp.asarray(soft), tail)
+
+    def decode_frames(self, frames, tails) -> tuple[FrameBatch, jax.Array]:
+        """Decode `(B, 16384)` frames with per-frame `(B, 64)` history
+        tails; returns (batch, new per-frame tails)."""
+        return self._decode_frames(jnp.asarray(frames), tails)
 
 
 @dataclasses.dataclass

@@ -23,7 +23,7 @@ from xritdemod_tpu.ops import conv_code
 from xritdemod_tpu.ops.derandomizer import _pn_np
 from xritdemod_tpu.ops.reed_solomon import rs_encode_np
 
-__all__ = ["make_vcdus", "TxChain", "encode_stream", "soft_to_int8"]
+__all__ = ["make_vcdus", "TxChain", "encode_stream", "soft_to_int8", "modulate"]
 
 
 def make_vcdus(
@@ -113,3 +113,42 @@ def encode_stream(
 def soft_to_int8(soft: np.ndarray) -> np.ndarray:
     """Wire quantization (SymbolManager.cpp:43-46): x*127 clamped int8."""
     return np.clip(soft * C.SYMBOL_SCALE, -128, 127).astype(np.int8)
+
+
+def modulate(
+    symbols: np.ndarray,
+    cfg,
+    rng: np.random.Generator | None = None,
+    freq_offset: float = 1e-4,
+    phase: float = 0.4,
+    amp: float = 0.3,
+    noise: float = 0.01,
+) -> np.ndarray:
+    """BPSK-modulate soft symbols at `cfg.sps` with RRC pulse shaping plus
+    carrier offset/phase/noise impairments -> complex64 IQ capture (the
+    deterministic stand-in for the reference's recorded GQRX captures,
+    CFileFrontend.cpp:33-62)."""
+    from xritdemod_tpu.ops import filters
+
+    rng = rng or np.random.default_rng(0)
+    sps = cfg.sps
+    os_factor = 4
+    ntaps = 127
+    nsym = len(symbols)
+    fine_len = int(nsym * sps * os_factor) + ntaps * os_factor
+    impulses = np.zeros(fine_len)
+    pos = (np.arange(nsym) * sps * os_factor).astype(np.int64)
+    impulses[pos] = symbols
+    fine_rate = cfg.circuit_sample_rate * os_factor
+    rc = filters.rrc_taps(
+        1.0, fine_rate, cfg.symbol_rate, cfg.rrc_alpha, ntaps * os_factor
+    )
+    shaped = np.convolve(impulses, rc.astype(np.float64) * os_factor, mode="same")
+    sig = shaped[::os_factor].astype(np.complex128)
+    n = np.arange(len(sig))
+    sig = sig * np.exp(1j * (2 * np.pi * freq_offset * n + phase)) * amp
+    if noise:
+        sig = sig + (
+            rng.normal(size=len(sig)) + 1j * rng.normal(size=len(sig))
+        ) * noise
+    return sig.astype(np.complex64)
