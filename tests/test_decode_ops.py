@@ -285,3 +285,38 @@ class TestDecodeMulti:
             np.testing.assert_array_equal(got, want, err_msg=name)
         np.testing.assert_array_equal(np.asarray(mt[:, -1]), np.asarray(tails))
         assert np.asarray(mb.frame_ok).all()
+
+
+class TestSegmentedMargin:
+    def test_overlap_margin_mechanism(self, rng):
+        """Pins the segmented-Viterbi warmup behaviour at the edge
+        (docs/VITERBI_MARGIN.md): at low SNR a tiny overlap visibly
+        diverges from the exact decoder, while the default overlap=128
+        stays bit-identical on the same data."""
+        import jax.numpy as jnp
+
+        from xritdemod_tpu.ops import conv_code
+        from xritdemod_tpu.ops.viterbi import viterbi_decode
+        from xritdemod_tpu.ops.viterbi_pallas import viterbi_decode_segmented
+
+        B, T = 8, 1024
+        bits = rng.integers(0, 2, (B, T)).astype(np.uint8)
+        soft = np.stack([
+            1.0 - 2.0 * conv_code.conv_encode_bits(bits[b])[0]
+            for b in range(B)
+        ]).astype(np.float32)                      # coded bit 1 -> negative
+        # 0 dB Es/N0: well below nominal operation but above the
+        # divergence onset for overlap=128.
+        soft = soft + rng.normal(0, 0.707, soft.shape).astype(np.float32)
+
+        exact, _ = viterbi_decode(jnp.asarray(soft))
+        tiny, _ = viterbi_decode_segmented(
+            jnp.asarray(soft), segments=8, overlap=8, interpret=True
+        )
+        full, _ = viterbi_decode_segmented(
+            jnp.asarray(soft), segments=8, overlap=128, interpret=True
+        )
+        n_tiny = int((np.asarray(tiny) != np.asarray(exact)).sum())
+        n_full = int((np.asarray(full) != np.asarray(exact)).sum())
+        assert n_tiny > 0, "overlap=8 should diverge at 0 dB"
+        assert n_full == 0, f"overlap=128 diverged ({n_full} bits)"

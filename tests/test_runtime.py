@@ -309,3 +309,100 @@ class TestMetrics:
         assert m.samples.total == 5000
         assert m.samples.rate() > 0
         assert "Msamp/s" in m.summary()
+
+
+class TestStatisticsBatch:
+    def test_update_batch_matches_sequential(self, rng):
+        """update_batch (vectorized, one call per device batch) leaves the
+        exact wire state the per-frame update_frame loop does."""
+        from xritdemod_tpu.runtime.statistics import Statistics
+
+        B = 64
+        scid = rng.integers(0, 64, B)
+        vcid = rng.integers(1, 5, B)
+        # Per-VCID increasing counters with random gaps (lost packets).
+        counter = np.zeros(B, np.int64)
+        nxt = {v: int(rng.integers(0, 100)) for v in range(1, 5)}
+        for k in range(B):
+            v = int(vcid[k])
+            nxt[v] += int(rng.integers(1, 4))      # gap 0-2 lost
+            counter[k] = nxt[v]
+        vit = rng.integers(0, 400, B)
+        rse = rng.integers(-1, 17, (B, 4))
+        corr = rng.integers(46, 65, B)
+        phase = rng.choice([0, 180], B)
+        ok = rng.random(B) > 0.2
+
+        a = Statistics(start_time=1000)
+        b = Statistics(start_time=1000)
+        for k in range(B):
+            a.update_frame(
+                scid=scid[k], vcid=vcid[k], counter=counter[k],
+                vit_errors=vit[k], rs_errors=rse[k],
+                sync_correlation=corr[k], phase_correction=phase[k],
+                frame_ok=bool(ok[k]),
+            )
+        b.update_batch(
+            scid=scid, vcid=vcid, counter=counter, vit_errors=vit,
+            rs_errors=rse, sync_correlation=corr, phase_correction=phase,
+            frame_ok=ok,
+        )
+        assert a.pack() == b.pack()
+        # and again (state carries across batches)
+        for k in range(B):
+            a.update_frame(
+                scid=scid[k], vcid=vcid[k], counter=counter[k],
+                vit_errors=vit[k], rs_errors=rse[k],
+                sync_correlation=corr[k], phase_correction=phase[k],
+                frame_ok=bool(ok[k]),
+            )
+        b.update_batch(
+            scid=scid, vcid=vcid, counter=counter, vit_errors=vit,
+            rs_errors=rse, sync_correlation=corr, phase_correction=phase,
+            frame_ok=ok,
+        )
+        assert a.pack() == b.pack()
+
+
+class TestForensics:
+    def test_corrupted_frame_dumps_and_fifo_stats(self, tmp_path, rng):
+        """A corrupted frame through DecoderApp(dump=True) writes the three
+        stage dumps + stats text (ChannelWriter.cpp:25-65 behaviour), and
+        the previously-dead fifo-usage stats byte goes nonzero."""
+        from xritdemod_tpu.models.decoder import DecoderConfig
+        from xritdemod_tpu.runtime.apps import DecoderApp
+
+        vcdus = tx.make_vcdus(5, scid=13, vcid=5, rng=rng)
+        soft = tx.encode_stream(vcdus, lrit=True, amp=1.0, noise=0.05, rng=rng)
+        # Obliterate the middle of frame 2 (sync survives, RS cannot).
+        f2 = 2 * 16384
+        soft[f2 + 2000 : f2 + 14000] = rng.normal(
+            0, 1.0, 12000
+        ).astype(np.float32)
+        wire = tx.soft_to_int8(soft * 0.5)
+
+        app = DecoderApp(
+            DecoderConfig(mode="lrit", frames_per_block=2),
+            vchannel_port=0,
+            statistics_port=0,
+            dump=True,
+            channels_folder=str(tmp_path),
+        )
+        app.push_symbols(wire)
+        app.flush()
+
+        assert app.stats.dropped_packets >= 1
+        assert app.stats.total_packets >= 4
+        assert app.stats.decoder_fifo_usage > 0
+        err = tmp_path / "errors"
+        dumps = sorted(p.name for p in err.iterdir())
+        stems = {n.rsplit("_", 1)[0] for n in dumps if n.endswith(".bin")}
+        assert stems, dumps
+        stem = sorted(stems)[0]
+        for stage, size in ((0, 16384), (1, 1024), (2, 1020)):
+            p = err / f"{stem}_{stage}.bin"
+            assert p.exists(), dumps
+            assert p.stat().st_size == size
+        assert (err / f"{stem}_stats.txt").exists()
+        # good frames still land in the channel file
+        assert (tmp_path / "channel_5.bin").exists()

@@ -57,6 +57,13 @@ class DecoderConfig:
     # windows, cutting the sequential ACS depth ~S-fold.  -1 = auto (8 on
     # TPU, off elsewhere), 0 = plain kernel, >=2 = explicit segment count.
     viterbi_segments: int = -1
+    # Warmup/tail overlap (trellis steps) of each segment window.  -1 =
+    # auto (128 — measured safe: bit-identical to the exact decoder down
+    # to -1 dB Es/N0, while the chain's own post-FEC floor is ~1.5 dB;
+    # see docs/VITERBI_MARGIN.md and VITERBI_MARGIN_r02.json).  Raise to
+    # 256 for extra margin at a ~2% throughput cost, or set
+    # viterbi_segments=0 to force the exact decoder.
+    viterbi_overlap: int = -1
     # Corrupted-frame forensics (newdecoder.cpp:323-328): when True, the
     # FrameBatch also carries the wire-quantized coded frame, the
     # post-Viterbi frame bytes, and the RS-corrected bytes, so the host
@@ -89,6 +96,11 @@ class FrameBatch(NamedTuple):
     corr: jax.Array          # (B,) float32 sync-word match bits
     word: jax.Array          # (B,) int32 matched UW index (0 = 0 deg)
     sync_word: jax.Array     # (B, 4) uint8 decoded sync marker bytes
+    # Forensics (DecoderConfig.forensics=True only, else None): the three
+    # stages the reference dumps for failed frames (newdecoder.cpp:323-328).
+    coded: jax.Array | None = None      # (B, 16384) int8 wire-form input
+    vit_frame: jax.Array | None = None  # (B, 1024) post-Viterbi frame bytes
+    rs_frame: jax.Array | None = None   # (B, 1020) RS-corrected bytes
 
 
 class CaduDecoder:
@@ -205,7 +217,10 @@ class CaduDecoder:
                 viterbi_decode_segmented,
             )
 
-            bits, vit_errors = viterbi_decode_segmented(ext, segments=segs)
+            ov = cfg.viterbi_overlap if cfg.viterbi_overlap >= 0 else 128
+            bits, vit_errors = viterbi_decode_segmented(
+                ext, segments=segs, overlap=ov
+            )
         elif on_tpu and B % 8 == 0:
             from xritdemod_tpu.ops.viterbi_pallas import viterbi_decode_pallas
 
@@ -240,6 +255,14 @@ class CaduDecoder:
         )
 
         vcdu = corrected[:, : C.VCDU_SIZE]
+        forensics = {}
+        if cfg.forensics:
+            q = jnp.clip(frames * C.SYMBOL_SCALE, -128.0, 127.0)
+            forensics = dict(
+                coded=q.astype(jnp.int8),
+                vit_frame=frame,
+                rs_frame=corrected,
+            )
         return FrameBatch(
             vcdu=vcdu,
             frame_ok=frame_ok,
@@ -252,6 +275,7 @@ class CaduDecoder:
             corr=corr,
             word=word,
             sync_word=sync_word,
+            **forensics,
         )
 
     # -- public API ---------------------------------------------------------

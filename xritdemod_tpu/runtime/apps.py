@@ -130,6 +130,12 @@ class DecoderApp:
         dump: bool = False,
         channels_folder: str = "channels",
     ):
+        import dataclasses
+
+        # Dump mode needs the corrupted-frame stage bytes on the batch
+        # (ChannelWriter.cpp:25-65 semantics).
+        if dump and not config.forensics:
+            config = dataclasses.replace(config, forensics=True)
         self.config = config
         self.decoder = StreamDecoder(config)
         self.stats = Statistics()
@@ -140,48 +146,79 @@ class DecoderApp:
         self.demodulator_port = demodulator_port
         self._running = False
         self._srv: socket.socket | None = None
+        self._last_show = 0.0
+        self.DISPLAY_INTERVAL = 0.1   # wall-clock display throttle (s)
 
     def _emit(self, batch) -> None:
+        """Sink one decoded batch: vectorized stats bookkeeping, one
+        dispatcher update per batch, display throttled by wall clock (the
+        reference updates per frame only because it decodes per frame,
+        newdecoder.cpp:370-395 — a per-frame Python loop walls at the
+        device's 20k+ frames/s)."""
         ok = np.asarray(batch.frame_ok)
         vcdu = np.asarray(batch.vcdu)
-        scid = np.asarray(batch.scid)
         vcid = np.asarray(batch.vcid)
-        counter = np.asarray(batch.counter)
-        vit = np.asarray(batch.vit_errors)
-        rse = np.asarray(batch.rs_errors)
-        corr = np.asarray(batch.corr)
         word = np.asarray(batch.word)
-        sync_word = np.asarray(batch.sync_word)
-        for k in range(len(ok)):
-            self.stats.sync_word = bytes(sync_word[k].tolist())
-            self.stats.update_frame(
-                scid=scid[k],
-                vcid=vcid[k],
-                counter=counter[k],
-                vit_errors=vit[k],
-                rs_errors=rse[k],
-                sync_correlation=corr[k],
-                phase_correction=180 if word[k] % 2 else 0,
-                frame_ok=bool(ok[k]),
+        self.stats.sync_word = bytes(np.asarray(batch.sync_word)[-1].tolist())
+        self.stats.update_batch(
+            scid=np.asarray(batch.scid),
+            vcid=vcid,
+            counter=np.asarray(batch.counter),
+            vit_errors=np.asarray(batch.vit_errors),
+            rs_errors=np.asarray(batch.rs_errors),
+            sync_correlation=np.asarray(batch.corr),
+            phase_correction=np.where(word % 2, 180, 0),
+            frame_ok=ok,
+        )
+        if ok.any():
+            self.channel_dispatcher.add_many(
+                [vcdu[k].tobytes() for k in np.flatnonzero(ok)]
             )
-            if ok[k]:
-                payload = vcdu[k].tobytes()
-                self.channel_dispatcher.add(payload)
-                if self.writer:
-                    self.writer.write_channel(payload, int(vcid[k]))
-            elif self.writer:
+        if self.writer:
+            for k in np.flatnonzero(ok):
+                self.writer.write_channel(vcdu[k].tobytes(), int(vcid[k]))
+            vit = np.asarray(batch.vit_errors)
+            corr = np.asarray(batch.corr)
+            rse = np.asarray(batch.rs_errors)
+            coded = (
+                np.asarray(batch.coded) if batch.coded is not None else None
+            )
+            vframe = (
+                np.asarray(batch.vit_frame)
+                if batch.vit_frame is not None
+                else None
+            )
+            rframe = (
+                np.asarray(batch.rs_frame)
+                if batch.rs_frame is not None
+                else None
+            )
+            for k in np.flatnonzero(~ok):
+                if coded is not None:
+                    self.writer.dump_corrupted_packet(coded[k].tobytes(), 0)
+                    self.writer.dump_corrupted_packet(vframe[k].tobytes(), 1)
+                    self.writer.dump_corrupted_packet(rframe[k].tobytes(), 2)
                 self.writer.dump_corrupted_packet_statistics(
                     int(vit[k]), int(corr[k]), rse[k]
                 )
-            self.stats_dispatcher.update(self.stats)
-            if self.display:
+        self.stats_dispatcher.update(self.stats)
+        if self.display:
+            now = time.monotonic()
+            if now - self._last_show >= self.DISPLAY_INTERVAL:
+                self._last_show = now
                 self.display.show(self.stats)
 
     def push_symbols(self, soft_int8: np.ndarray) -> None:
         """Feed wire symbols directly (used by tests and the fused app)."""
-        for batch in self.decoder.push(
-            np.asarray(soft_int8, np.int8).astype(np.float32)
-        ):
+        soft = np.asarray(soft_int8, np.int8).astype(np.float32)
+        # Decoder-side FIFO usage on the stats wire: fraction of the
+        # reference's FIFO budget pending in the realign buffer
+        # (Statistics.h:36; was a dead 0 before).
+        pending = len(self.decoder._buf) + len(soft)
+        self.stats.decoder_fifo_usage = min(
+            100, int(100 * pending / C.FIFO_SIZE)
+        )
+        for batch in self.decoder.push(soft):
             self._emit(batch)
 
     def flush(self) -> None:
@@ -267,6 +304,9 @@ class ReceiverApp:
                 soft, valid, state = demod.demod.process(x, state)
                 wire = np.asarray(quantize_symbols(soft))[np.asarray(valid)]
                 demod.symbols_out += len(wire)
+                self.decoder_app.stats.demodulator_fifo_usage = min(
+                    100, int(100 * demod.fifo.usage())
+                )
                 self.decoder_app.push_symbols(wire)
                 blocks += 1
                 if max_blocks is not None and blocks >= max_blocks:

@@ -59,6 +59,13 @@ class BroadcastServer:
     def add(self, data: bytes) -> None:
         self._q.put(bytes(data))
 
+    def add_many(self, items) -> None:
+        """Enqueue a batch of payloads (one queue op per item is fine; the
+        copy is what the per-frame reference loop pays too,
+        ChannelPacket.cpp:11-15)."""
+        for data in items:
+            self._q.put(bytes(data))
+
     def num_clients(self) -> int:
         with self._lock:
             return len(self._clients)

@@ -110,6 +110,82 @@ class Statistics:
             self._sum_rs // self.total_packets if self.total_packets else 0
         )
 
+    def update_batch(
+        self,
+        *,
+        scid,
+        vcid,
+        counter,
+        vit_errors,
+        rs_errors,
+        sync_correlation,
+        phase_correction,
+        frame_ok,
+    ) -> None:
+        """Vectorized equivalent of calling `update_frame` once per frame
+        in stream order (arrays of length B).  The per-frame Python loop
+        is the reference's cadence (newdecoder.cpp:370-395, one frame per
+        socket read); at the device's 20k+ frames/s it becomes the host
+        bottleneck, so the bookkeeping runs as numpy batch ops — final
+        state is identical (pinned by tests/test_runtime.py)."""
+        ok = np.asarray(frame_ok, bool)
+        vcid = np.asarray(vcid, np.int64)
+        counter = np.asarray(counter, np.int64)
+        vit = np.asarray(vit_errors, np.int64)
+        B = len(ok)
+        if B == 0:
+            return
+        self.total_packets += B
+        self._sum_vit += int(vit.sum())
+        self.average_vit_corrections = self._sum_vit // self.total_packets
+        self.dropped_packets += int((~ok).sum())
+
+        rs = np.asarray(rs_errors, np.int64).reshape(B, 4)
+        self._sum_rs += int(np.where(rs[ok] > 0, rs[ok], 0).sum())
+        self.average_rs_corrections = self._sum_rs // self.total_packets
+
+        # Per-VCID received / lost accounting over the ok frames, in order.
+        okv = vcid[ok]
+        okc = counter[ok]
+        for v in np.unique(okv):
+            idx = okv == v
+            ctrs = okc[idx]
+            seq = np.concatenate([[self._last_counter[v]], ctrs])
+            d = np.diff(seq) - 1
+            if seq[0] == -1:
+                d[0] = 0
+            lost = int(d[d > 0].sum())
+            if lost:
+                self.lost_packets += lost
+                self.lost_packets_per_channel[v] += lost
+            n = int(idx.sum())
+            if self.received_packets_per_channel[v] == -1:
+                self.received_packets_per_channel[v] = n
+            else:
+                self.received_packets_per_channel[v] += n
+            self._last_counter[v] = ctrs[-1]
+
+        # Scalar wire fields reflect the LAST frame, exactly as the
+        # sequential loop leaves them.
+        k = B - 1
+        self.vit_errors = int(vit[k])
+        self.rs_errors = tuple(int(r) for r in rs[k])
+        self.sync_correlation = int(np.asarray(sync_correlation)[k])
+        pct = 100.0 - (100.0 * vit[k] / self.frame_bits) * 10.0
+        self.signal_quality = int(max(pct, 0.0))
+        if not ok[k]:
+            self.frame_lock = False
+            self.scid = 0
+            self.vcid = 0
+            self.packet_number = 0
+            self.phase_correction = 0
+        else:
+            self.frame_lock = True
+            self.scid = int(np.asarray(scid)[k])
+            self.vcid = int(vcid[k])
+            self.packet_number = int(counter[k])
+            self.phase_correction = int(np.asarray(phase_correction)[k])
+
     def pack(self) -> bytes:
         """Serialize to the exact Statistics_st wire bytes."""
         return struct.pack(
