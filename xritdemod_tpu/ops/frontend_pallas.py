@@ -50,10 +50,22 @@ _TWO_PI = 2.0 * np.pi
 def _frontend_kernel(
     xr_ref, xi_ref, g0_ref, ph0_ref, fr0_ref, hr0_ref, hi0_ref, m2_ref,
     yr_ref, yi_ref, gout_ref, phout_ref, frout_ref, hrout_ref, hiout_ref,
-    win_r, win_i, fir_r, fir_i, st_scr,
-    *, rows, nh, G, agc: AgcParams, costas: CostasParams, block_k=0,
-    block_stages="both", sub=128, precision="highest",
+    *scratch,
+    rows, nh, G, agc: AgcParams, costas: CostasParams, block_k=0,
+    block_stages="both", sub=128, precision="highest", fir_inplace=False,
 ):
+    if fir_inplace:
+        # The FIR output is stored IN-PLACE in the window buffer: strip s0
+        # reads AGC rows [s0, s0+sub+nh) and then overwrites rows
+        # [s0, s0+sub) — regions later strips read ([s0+sub, ...)) are
+        # untouched, and the next-step history rows [rows, rows+nh) stay
+        # AGC output.  Saves a whole (rows, G, 128) x2 scratch — the VMEM
+        # margin that unlocks C=4096 (G=32); costs ~3% at smaller G from
+        # the tighter write ordering, so it's only on when needed.
+        win_r, win_i, st_scr = scratch
+        fir_r, fir_i = win_r, win_i
+    else:
+        win_r, win_i, fir_r, fir_i, st_scr = scratch
     rate = jnp.float32(agc.rate)
     ref = jnp.float32(agc.reference)
     max_gain = jnp.float32(agc.max_gain)
@@ -76,10 +88,13 @@ def _frontend_kernel(
         # K-row slab form: the gain recurrence g' = (1 - rate*|x|)*g +
         # rate*ref is linear given the INPUT magnitudes, so the K applied
         # gains come from an exact affine prefix tree (log2 K shifted
-        # composes, all full-slab VPU ops) — same math as ops/agc.agc_block
-        # (max-gain clamp applied to the scanned gains, not threaded
-        # through the recursion; non-binding in lock).  Sequential length
-        # drops rows -> rows/K.
+        # composes, all full-slab VPU ops).  The max-gain clamp is EXACT
+        # too: min(a*g+b, M) is monotone in g, so the clamped state is
+        # min(free trajectory, min_k restart-from-M trajectories) — an
+        # in-slab running min over (M - b_k)/a_k (no logs needed: a stays
+        # ~1 over K=8 rows), chained exactly across slabs through the
+        # clamped carried gain.  Same math as ops/agc.agc_block.
+        # Sequential length drops rows -> rows/K.
         # NOTE: the slab loop is a STATIC Python unroll (rows//bk bodies)
         # with static slices throughout — dynamic-offset multi-row pl.ds
         # access inside fori_loop sends the Mosaic compiler into a
@@ -105,10 +120,22 @@ def _frontend_kernel(
                 b = a * b_sh + b
                 a = a * a_sh
                 s *= 2
-            g_next = a * g[None] + b                      # g after row k
-            g_app = jnp.concatenate([g[None], g_next[:-1]], axis=0)
             if agc.max_gain > 0:
-                g_app = jnp.minimum(g_app, max_gain)
+                q = (max_gain - b) / a
+                cm = q
+                s = 1
+                while s < bk:
+                    pad = jnp.full((s, G, 128), jnp.inf, jnp.float32)
+                    cm = jnp.minimum(
+                        cm, jnp.concatenate([pad, cm[:-s]], axis=0)
+                    )
+                    s *= 2
+                g_next = jnp.minimum(
+                    a * jnp.minimum(g[None], cm) + b, max_gain
+                )
+            else:
+                g_next = a * g[None] + b                  # g after row k
+            g_app = jnp.concatenate([g[None], g_next[:-1]], axis=0)
             win_r[nh + r0 : nh + r0 + bk] = xr * g_app
             win_i[nh + r0 : nh + r0 + bk] = xi * g_app
             # (integer indexing lowers to dynamic_slice, which Mosaic
@@ -116,8 +143,6 @@ def _frontend_kernel(
             g = jax.lax.slice_in_dim(g_next, bk - 1, bk, axis=0).reshape(
                 G, 128
             )
-            if agc.max_gain > 0:
-                g = jnp.minimum(g, max_gain)
     else:
         def agc_body(r, g):
             xr = xr_ref[r]                                # (G, 128)
@@ -164,10 +189,6 @@ def _frontend_kernel(
                 precision=prec,
                 preferred_element_type=jnp.float32,
             )
-    # Next step's FIR history = last nh AGC rows.
-    win_r[0:nh] = win_r[pl.ds(rows, nh)]
-    win_i[0:nh] = win_i[pl.ds(rows, nh)]
-
     # ---- Costas: sequential PLL recursion over the FIR rows -------------
     if block_k and block_stages in ("both", "costas"):
         # Frozen-ramp K-row slab update (ops/costas.costas_block_update
@@ -238,6 +259,12 @@ def _frontend_kernel(
     st_scr[1] = phase
     st_scr[2] = freq
 
+    # Next step's FIR history = last nh AGC rows (must come AFTER the
+    # Costas pass: the FIR output aliases win rows [0, rows), which this
+    # write would clobber at [0, nh)).
+    win_r[0:nh] = win_r[pl.ds(rows, nh)]
+    win_i[0:nh] = win_i[pl.ds(rows, nh)]
+
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
         gout_ref[:] = g
@@ -250,7 +277,7 @@ def _frontend_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("agc", "taps", "costas", "rows", "interpret",
-                     "block_k", "block_stages", "precision"),
+                     "block_k", "block_stages", "precision", "fir_inplace"),
 )
 def demod_frontend_pallas(
     x: CF32,
@@ -265,6 +292,7 @@ def demod_frontend_pallas(
     block_k: int = 0,
     block_stages: str = "both",
     precision: str = "highest",
+    fir_inplace: bool | None = None,
 ) -> tuple[CF32, jax.Array, CF32, CostasState]:
     """AGC -> RRC -> Costas over a channels-last `(T, C)` block.
 
@@ -293,6 +321,11 @@ def demod_frontend_pallas(
     G = C // 128
     sub = min(rows, 128)                                  # RRC matmul strip
     m2 = jnp.asarray(_band_matrix_np(taps, sub).T)        # (sub, sub+nh)
+    # Dedicated FIR scratch while it fits the 16 MB scoped-VMEM budget;
+    # in-place (aliased into the window buffer) at G >= 32 where the extra
+    # (rows, G, 128) x2 would overflow it.
+    if fir_inplace is None:
+        fir_inplace = G >= 32
 
     f32 = jnp.float32
     planes = lambda a: a.reshape(a.shape[0], G, 128)      # free: row-major
@@ -303,7 +336,7 @@ def demod_frontend_pallas(
         functools.partial(
             _frontend_kernel, rows=rows, nh=nh, G=G, agc=agc, costas=costas,
             block_k=block_k, block_stages=block_stages, sub=sub,
-            precision=precision,
+            precision=precision, fir_inplace=fir_inplace,
         ),
         grid=(T // rows,),
         out_shape=(
@@ -318,13 +351,21 @@ def demod_frontend_pallas(
         in_specs=[blk(), blk(), full(), full(), full(), full(), full(),
                   full()],
         out_specs=(blk(), blk(), full(), full(), full(), full(), full()),
-        scratch_shapes=[
-            pltpu.VMEM((rows + nh, G, 128), f32),
-            pltpu.VMEM((rows + nh, G, 128), f32),
-            pltpu.VMEM((rows, G, 128), f32),
-            pltpu.VMEM((rows, G, 128), f32),
-            pltpu.VMEM((3, G, 128), f32),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((rows + nh, G, 128), f32),
+                pltpu.VMEM((rows + nh, G, 128), f32),
+            ]
+            + (
+                []
+                if fir_inplace
+                else [
+                    pltpu.VMEM((rows, G, 128), f32),
+                    pltpu.VMEM((rows, G, 128), f32),
+                ]
+            )
+            + [pltpu.VMEM((3, G, 128), f32)]
+        ),
         interpret=interpret,
     )(
         planes(x.re), planes(x.im),
