@@ -223,3 +223,34 @@ class TestFoldedCapture:
         assert len(data) == 6 * 892
         sent = b"".join(bytes(v) for v in vcdus)
         assert data == sent
+
+
+class TestTimeBlocksDecimation:
+    def test_timeblock_demod_decimation2(self, rng):
+        """Time-block sharding with a decimating first stage (r1 raised
+        NotImplementedError): locked eye on non-cold blocks."""
+        from jax.sharding import Mesh
+        from xritdemod_tpu import tx
+        from xritdemod_tpu.parallel.timeblocks import TimeBlockDemodulator
+
+        D = 4
+        mesh = Mesh(np.asarray(jax.devices()[:D]), ("t",))
+        cfg_tx = DemodConfig.lrit(sample_rate=2_500_000, decimation=1)
+        cfg_rx = DemodConfig.lrit(sample_rate=2_500_000, decimation=2)
+        block, warm = 1 << 15, 8192
+        total = D * block
+        vcdus = tx.make_vcdus(
+            int(total / 2 / cfg_rx.sps / 16384) + 2, rng=rng
+        )
+        symbols = tx.encode_stream(vcdus, lrit=True, amp=1.0, rng=rng)
+        sig = tx.modulate(symbols, cfg_tx, rng)
+        sig = np.resize(sig, total)
+
+        tb = TimeBlockDemodulator(cfg_rx, mesh, block_len=block, warmup=warm)
+        soft, valid = tb.process(from_complex(sig))
+        soft, valid = np.asarray(soft), np.asarray(valid)
+        for d in range(1, D):
+            s = soft[d][valid[d]]
+            tail = s[len(s) // 2 :]
+            eye = np.abs(tail).mean() / (np.abs(tail).std() + 1e-9)
+            assert eye > 3.0, f"block {d} eye {eye}"

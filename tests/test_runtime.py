@@ -406,3 +406,66 @@ class TestForensics:
         assert (err / f"{stem}_stats.txt").exists()
         # good frames still land in the channel file
         assert (tmp_path / "channel_5.bin").exists()
+
+
+class TestRtlUsb:
+    def test_usb_loop_with_faked_library(self, rng):
+        """Live-USB path driven through a faked librtlsdr handle: device
+        programming calls + sync-read chunks -> LUT + DC blocker -> float
+        IQ callback (RtlFrontend.cpp:98-118 behaviour)."""
+        from xritdemod_tpu.runtime.frontends import (
+            DcBlocker,
+            RtlFrontend,
+            rtl_u8_lut,
+        )
+
+        raw = rng.integers(0, 256, 3 * 16384, dtype=np.uint8)
+
+        class FakeLib:
+            def __init__(self):
+                self.calls = []
+                self.pos = 0
+
+            def __getattr__(self, name):
+                if name.startswith("rtlsdr_"):
+                    def stub(*a, _n=name):
+                        self.calls.append(_n)
+                        return 0
+                    return stub
+                raise AttributeError(name)
+
+            def rtlsdr_open(self, devref, index):
+                self.calls.append("rtlsdr_open")
+                return 0
+
+            def rtlsdr_read_sync(self, dev, buf, length, nref):
+                self.calls.append("rtlsdr_read_sync")
+                chunk = raw[self.pos : self.pos + length]
+                if len(chunk) == 0:
+                    nref._obj.value = 0
+                    return -1                  # stream end
+                buf[: len(chunk)] = bytes(chunk)
+                nref._obj.value = len(chunk)
+                self.pos += len(chunk)
+                return 0
+
+        lib = FakeLib()
+        fe = RtlFrontend(library=lib)
+        got = []
+        fe.set_samples_available_callback(lambda iq, t: got.append(iq))
+        fe.set_sample_rate(2_560_000)
+        fe.set_center_frequency(1_691_000_000)
+        fe.set_lna_gain(14)
+        fe.start()
+        fe.join()
+        for name in ("rtlsdr_open", "rtlsdr_set_sample_rate",
+                     "rtlsdr_set_center_freq", "rtlsdr_set_tuner_gain_mode",
+                     "rtlsdr_set_tuner_gain", "rtlsdr_reset_buffer",
+                     "rtlsdr_read_sync"):
+            assert name in lib.calls, (name, lib.calls)
+        iq = np.concatenate(got)
+        assert len(iq) == len(raw)
+        ref = DcBlocker(2_560_000).process(rtl_u8_lut()[raw])
+        np.testing.assert_allclose(iq, ref, atol=1e-6)
+        fe.stop()
+        assert "rtlsdr_close" in lib.calls

@@ -54,9 +54,9 @@ class TimeBlockDemodulator:
         warmup: int = 8192,
         axis: str = "t",
     ):
-        if config.decimation != 1:
-            raise NotImplementedError(
-                "time-block sharding currently assumes decimation == 1"
+        if block_len % config.decimation or warmup % config.decimation:
+            raise ValueError(
+                "block_len and warmup must be multiples of decimation"
             )
         self.config = config
         self.mesh = mesh
@@ -96,8 +96,8 @@ class TimeBlockDemodulator:
             )
             soft, valid, _ = self._demod._block(ext, self._demod.init_state())
             # Mask out symbols recovered from the warm-up halo region: the
-            # clock walks ~omega samples per symbol from position 0.
-            nwarm = int(warmup / config.sps) + 2
+            # clock walks ~omega post-decimation samples per symbol.
+            nwarm = int(warmup / config.decimation / config.sps) + 2
             slot = jnp.arange(soft.shape[-1])
             keep = slot >= nwarm
             return (
@@ -158,9 +158,9 @@ class FoldedCaptureReceiver:
         from xritdemod_tpu import constants as C
         from xritdemod_tpu.models.decoder import DecoderConfig
 
-        if config.decimation != 1:
-            raise NotImplementedError(
-                "capture folding currently assumes decimation == 1"
+        if block_len % config.decimation or warmup % config.decimation:
+            raise ValueError(
+                "block_len and warmup must be multiples of decimation"
             )
         self.config = config
         self.folds = folds
@@ -172,7 +172,9 @@ class FoldedCaptureReceiver:
         self._dec_cfg = DecoderConfig(
             mode=mode, frames_per_block=frames_per_block
         )
-        frame_span = int(C.CODED_FRAME_SIZE * config.sps) + 1
+        # Overlap is in RAW capture samples: one coded frame spans
+        # sps post-decimation samples per symbol x decimation.
+        frame_span = int(C.CODED_FRAME_SIZE * config.sps * config.decimation) + 1
         self.overlap = warmup + 2 * frame_span
         self._demod = Demodulator(config, block_len=block_len)
 

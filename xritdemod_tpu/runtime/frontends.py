@@ -215,6 +215,22 @@ class CFileFrontend(FrontendDevice):
         self._running = False
 
 
+def load_librtlsdr():
+    """ctypes-load librtlsdr, or None when absent on this host."""
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("rtlsdr")
+    for cand in ([name] if name else []) + [
+        "librtlsdr.so.0", "librtlsdr.so", "librtlsdr.dylib"
+    ]:
+        try:
+            return ctypes.CDLL(cand)
+        except OSError:
+            continue
+    return None
+
+
 class RtlFrontend(FrontendDevice):
     """RTL-SDR-class frontend (RtlFrontend.{h,cpp}): u8 LUT normalization
     `(i-128)/127` plus the single-pole DC blocker, delivering FLOAT_IQ.
@@ -222,8 +238,12 @@ class RtlFrontend(FrontendDevice):
     Two sources:
       - `filename=`: recorded raw u8 interleaved-IQ capture playback (the
         rtl_sdr(1) output format) — the testable path on this host;
-      - live USB via librtlsdr if the shared library is present (loaded
-        through ctypes); raises at `start()` otherwise.
+      - live USB via ctypes-loaded librtlsdr (the reference's async-read
+        loop, RtlFrontend.cpp:98-118, as a sync-read thread): open device
+        `device_index`, program rate/frequency/gain, stream BUFFER_SIZE-
+        byte chunks through the same LUT + DC blocker.  `start()` raises
+        only when the shared library is actually absent.  A library handle
+        can be injected for tests (`library=`).
 
     The reference's `if (i % 1)` DC-blocker bug (Q average never updates,
     RtlFrontend.cpp:107) is deliberately fixed — see DcBlocker.
@@ -232,13 +252,17 @@ class RtlFrontend(FrontendDevice):
     BUFFER_SIZE = 16384  # u8 values per read, as rtlsdr_read_async
 
     def __init__(self, filename: str | None = None, device_index: int = 0,
-                 realtime: bool = False):
+                 realtime: bool = False, library=None):
         self.filename = filename
         self.device_index = device_index
         self.realtime = realtime
         self.sample_rate = 2_560_000   # reference default RtlFrontend.cpp:16
         self.center_frequency = 106_300_000
         self.lna_gain = 0
+        self.agc = False
+        self.bias_tee = False
+        self._lib = library
+        self._dev = None
         self._lut = rtl_u8_lut()
         self._dc: DcBlocker | None = None
         self._cb: Callback | None = None
@@ -263,22 +287,58 @@ class RtlFrontend(FrontendDevice):
     def set_lna_gain(self, gain: int) -> None:
         self.lna_gain = gain
 
-    def start(self) -> None:
-        if self.filename is None:
+    def set_agc(self, agc: bool) -> None:
+        self.agc = bool(agc)
+
+    def set_bias_t(self, bias: bool) -> None:
+        self.bias_tee = bool(bias)
+
+    def _open_usb(self):
+        """Open + program the device (RtlFrontend.cpp startup sequence)."""
+        import ctypes
+
+        lib = self._lib if self._lib is not None else load_librtlsdr()
+        if lib is None:
             raise NotImplementedError(
-                "live RTL-SDR USB capture requires librtlsdr, which is not "
-                "available on this host; pass filename= for recorded u8 "
+                "live RTL-SDR USB capture requires librtlsdr, which was "
+                "not found on this host; pass filename= for recorded u8 "
                 "IQ playback"
             )
+        self._lib = lib
+        dev = ctypes.c_void_p()
+        if lib.rtlsdr_open(ctypes.byref(dev), int(self.device_index)):
+            raise RuntimeError(
+                f"rtlsdr_open({self.device_index}) failed — no device?"
+            )
+        self._dev = dev
+        lib.rtlsdr_set_sample_rate(dev, int(self.sample_rate))
+        lib.rtlsdr_set_center_freq(dev, int(self.center_frequency))
+        if self.agc:
+            lib.rtlsdr_set_tuner_gain_mode(dev, 0)
+            lib.rtlsdr_set_agc_mode(dev, 1)
+        else:
+            lib.rtlsdr_set_tuner_gain_mode(dev, 1)
+            lib.rtlsdr_set_tuner_gain(dev, int(self.lna_gain * 10))
+        if self.bias_tee and hasattr(lib, "rtlsdr_set_bias_tee"):
+            lib.rtlsdr_set_bias_tee(dev, 1)
+        lib.rtlsdr_reset_buffer(dev)
+
+    def start(self) -> None:
+        if self.filename is None:
+            self._open_usb()
         self._dc = DcBlocker(self.sample_rate)
         self._running = True
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+        target = self._loop if self.filename is not None else self._usb_loop
+        self._thread = threading.Thread(target=target, daemon=True)
         self._thread.start()
 
     def stop(self) -> None:
         self._running = False
         if self._thread:
             self._thread.join(timeout=5)
+        if self._dev is not None and self._lib is not None:
+            self._lib.rtlsdr_close(self._dev)
+            self._dev = None
 
     def join(self) -> None:
         if self._thread:
@@ -308,6 +368,28 @@ class RtlFrontend(FrontendDevice):
                     dt = period - (time.monotonic() - t0)
                     if dt > 0:
                         time.sleep(dt)
+        self._running = False
+
+    def _usb_loop(self) -> None:
+        """Blocking sync-read loop over librtlsdr (the thread equivalent
+        of the reference's rtlsdr_read_async callback)."""
+        import ctypes
+
+        buf = (ctypes.c_ubyte * self.BUFFER_SIZE)()
+        n_read = ctypes.c_int(0)
+        while self._running:
+            r = self._lib.rtlsdr_read_sync(
+                self._dev, buf, self.BUFFER_SIZE, ctypes.byref(n_read)
+            )
+            n = int(n_read.value)
+            if r or n <= 0:
+                break
+            raw = np.frombuffer(
+                bytes(memoryview(buf)[:n]), np.uint8
+            )
+            iq = self._dc.process(self._lut[raw])
+            if self._cb is not None:
+                self._cb(iq, SampleType.FLOAT_IQ)
         self._running = False
 
 
