@@ -208,3 +208,26 @@ class TestFusedReceiver:
         # Frames from both sides of the gap (counter0=0 for channel 0 in
         # both halves; at least 2 of 3 frames per side survive edges).
         assert len(got) >= 4, got
+
+
+class TestFoldedFused:
+    def test_folded_fused_matches_host_path(self, rng):
+        """FoldedCaptureReceiver(use_fused=True) — the on-device bulk
+        reprocess — recovers exactly the frames the host-decoder path
+        recovers from the same capture."""
+        from xritdemod_tpu.models.demodulator import DemodConfig
+        from xritdemod_tpu.parallel.timeblocks import FoldedCaptureReceiver
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        vcdus = tx.make_vcdus(4, scid=13, vcid=11, rng=rng)
+        symbols = tx.encode_stream(vcdus, lrit=True, amp=1.0, rng=rng)
+        sig = tx.modulate(symbols, cfg, rng)
+
+        kw = dict(folds=8, block_len=1 << 15, warmup=16384,
+                  frames_per_block=2)
+        out_f = FoldedCaptureReceiver(cfg, use_fused=True, **kw).process(sig)
+        out_h = FoldedCaptureReceiver(cfg, use_fused=False, **kw).process(sig)
+        got_f = {(v, c, p) for (_, v, c, p) in out_f}
+        got_h = {(v, c, p) for (_, v, c, p) in out_h}
+        want = {(11, i, bytes(vcdus[i])) for i in range(len(vcdus))}
+        assert got_f == got_h == want

@@ -118,19 +118,18 @@ class FusedReceiver:
         )
         locked, tails = st.locked, st.tails
 
-        # Acquisition (the full-window correlator) once per step, and only
-        # when some channel is unlocked — in steady state every channel is
+        # Acquisition (the full-window correlator) runs per extraction so
+        # the position always reflects the post-pop ring, but ONLY while
+        # some channel is unlocked — in steady state every channel is
         # frame-aligned at pos 0 and the whole correlation is skipped.
         def do_acq(r):
             counts = corr_op.correlate(r[:, : self._acq], self._templates)
-            return corr_op.best_correlation(counts)[2].astype(jnp.int32)
+            corr, _, p = corr_op.best_correlation(counts)
+            return corr, p.astype(jnp.int32)
 
-        acq_pos = jax.lax.cond(
-            jnp.any(~locked),
-            do_acq,
-            lambda r: jnp.zeros((r.shape[0],), jnp.int32),
-            ring,
-        )
+        Cn = ring.shape[0]
+        thresh = self.decoder_config.min_correlation_bits
+
         # k frame extractions, each decoded by one flat decode_frames call
         # (measured faster on TPU than one (C, k) multi-decode at these
         # widths).  A successful unlocked extraction locks (sync verified)
@@ -138,6 +137,18 @@ class FusedReceiver:
         # same step use pos 0.
         batches, oks = [], []
         for _ in range(self.k):
+            acq_corr, acq_pos = jax.lax.cond(
+                jnp.any(~locked),
+                do_acq,
+                lambda r: (jnp.zeros((Cn,), jnp.float32),
+                           jnp.zeros((Cn,), jnp.int32)),
+                ring,
+            )
+            # No sync in the window -> slide exactly ONE frame (pos 0),
+            # the reference flywheel's blind drop (newdecoder.cpp:244-247):
+            # a noise argmax would overshoot past an upcoming sync and
+            # swallow the head of the first real frame.
+            acq_pos = jnp.where(acq_corr >= thresh, acq_pos, 0)
             pos = jnp.where(locked, 0, acq_pos).astype(jnp.int32)
             ring, fill, chunk, ok = ring_extract(
                 ring, fill, pos, _CODED, interpret=interp

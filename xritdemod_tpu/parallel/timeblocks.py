@@ -151,13 +151,25 @@ class FoldedCaptureReceiver:
         config: DemodConfig,
         folds: int = 128,
         block_len: int = 1 << 17,
-        warmup: int = 16384,
+        warmup: int | None = None,
         frames_per_block: int = 32,
         mode: str | None = None,
+        use_fused: bool | None = None,
+        max_clock_ppm: float = 100.0,
     ):
         from xritdemod_tpu import constants as C
         from xritdemod_tpu.models.decoder import DecoderConfig
 
+        if warmup is None:
+            # Cold-start pull-in is dominated by the M&M omega loop and
+            # grows ~quadratically with the capture's symbol-clock offset
+            # (measured: ~4.4k samples at 0 ppm, ~13k at 100 ppm, ~200k at
+            # 500 ppm).  The default covers max_clock_ppm=100 — 2x a bad
+            # RTL dongle crystal; raise it for worse hardware.  The
+            # reference never cold-starts mid-stream (strictly serial), so
+            # this bound is a fold-parallelism artifact, priced here.
+            warmup = max(16384, int(16384 + 0.9 * max_clock_ppm**2))
+            warmup = -(-warmup // config.decimation) * config.decimation
         if block_len % config.decimation or warmup % config.decimation:
             raise ValueError(
                 "block_len and warmup must be multiples of decimation"
@@ -172,11 +184,93 @@ class FoldedCaptureReceiver:
         self._dec_cfg = DecoderConfig(
             mode=mode, frames_per_block=frames_per_block
         )
+        # use_fused routes the whole receive through the on-device
+        # FusedReceiver (models/receiver.py): demod -> symbol ring ->
+        # decode with no host symbol hop — the bulk-reprocess fast path.
+        # Auto: on for TPU, off for CPU (where the interpret-mode ring
+        # kernels would dominate).
+        if use_fused is None:
+            import jax
+
+            use_fused = jax.default_backend() == "tpu"
+        self.use_fused = use_fused
         # Overlap is in RAW capture samples: one coded frame spans
         # sps post-decimation samples per symbol x decimation.
         frame_span = int(C.CODED_FRAME_SIZE * config.sps * config.decimation) + 1
         self.overlap = warmup + 2 * frame_span
         self._demod = Demodulator(config, block_len=block_len)
+
+    def _fold_starts(self, N: int):
+        import numpy as np
+
+        F, T = self.folds, self.block_len
+        seg = -(-N // F)          # segment length per fold (ceil)
+        L = seg + self.overlap
+        nblocks = -(-L // T)
+        starts = np.arange(F, dtype=np.int64) * seg - self.overlap
+        return starts, nblocks
+
+    def _fold_block(self, x, starts, j, buf):
+        import numpy as np
+
+        N = len(x)
+        T = self.block_len
+        buf[:] = 0
+        for f in range(self.folds):
+            s0 = starts[f] + j * T
+            s1 = s0 + T
+            c0, c1 = max(s0, 0), min(s1, N)
+            if c1 > c0:
+                buf[f, c0 - s0 : c1 - s0] = x[c0:c1]
+        return buf
+
+    @staticmethod
+    def _dedup(per_fold) -> list[tuple[int, int, int, bytes]]:
+        out: list[tuple[int, int, int, bytes]] = []
+        seen: set[tuple[int, int]] = set()
+        for frames in per_fold:
+            for scid, vcid, ctr, vcdu in frames:
+                key = (vcid, ctr)
+                if key in seen:
+                    continue
+                seen.add(key)
+                out.append((scid, vcid, ctr, vcdu))
+        return out
+
+    def _process_fused(self, x, starts, nblocks):
+        """The on-device path: every block steps the FusedReceiver; a few
+        trailing zero blocks flush the last ring-buffered frames (their
+        junk tail fails the per-frame sync recheck and is dropped)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from xritdemod_tpu.models.receiver import FusedReceiver
+
+        F, T = self.folds, self.block_len
+        rx = FusedReceiver(self.config, self._dec_cfg, channels=F, block_len=T)
+        st = rx.init_state()
+        per_fold: list[list] = [[] for _ in range(F)]
+        buf = np.zeros((F, T), np.complex64)
+        for j in range(nblocks + 2):
+            if j < nblocks:
+                self._fold_block(x, starts, j, buf)
+            else:
+                buf[:] = 0                      # flush pass
+            xc = CF32(
+                jnp.asarray(buf.real.copy()), jnp.asarray(buf.imag.copy())
+            )
+            batch, ok, ovf, st = rx.step(xc, st)
+            okh = np.asarray(batch.frame_ok)
+            scid = np.asarray(batch.scid)
+            vcid = np.asarray(batch.vcid)
+            ctr = np.asarray(batch.counter)
+            vcdu = np.asarray(batch.vcdu)
+            for f, k in zip(*np.nonzero(okh)):
+                per_fold[f].append(
+                    (int(scid[f, k]), int(vcid[f, k]), int(ctr[f, k]),
+                     bytes(vcdu[f, k]))
+                )
+        return self._dedup(per_fold)
 
     def process(self, x: "np.ndarray") -> list[tuple[int, int, int, bytes]]:
         """complex64 capture -> deduplicated (scid, vcid, counter, vcdu)
@@ -188,11 +282,9 @@ class FoldedCaptureReceiver:
         x = np.asarray(x, np.complex64)
         N = len(x)
         F, T = self.folds, self.block_len
-        # Segment length per fold (ceil), then pad fold windows to blocks.
-        seg = -(-N // F)
-        L = seg + self.overlap
-        nblocks = -(-L // T)
-        starts = np.arange(F, dtype=np.int64) * seg - self.overlap
+        starts, nblocks = self._fold_starts(N)
+        if self.use_fused:
+            return self._process_fused(x, starts, nblocks)
 
         state = self._demod.init_state_batch(F)
         decoders = [StreamDecoder(self._dec_cfg) for _ in range(F)]

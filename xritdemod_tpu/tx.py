@@ -123,11 +123,22 @@ def modulate(
     phase: float = 0.4,
     amp: float = 0.3,
     noise: float = 0.01,
+    clock_ppm: float = 0.0,
+    freq_drift: float = 0.0,
 ) -> np.ndarray:
     """BPSK-modulate soft symbols at `cfg.sps` with RRC pulse shaping plus
     carrier offset/phase/noise impairments -> complex64 IQ capture (the
     deterministic stand-in for the reference's recorded GQRX captures,
-    CFileFrontend.cpp:33-62)."""
+    CFileFrontend.cpp:33-62).
+
+    Long-capture impairments for soak runs:
+      clock_ppm: sinusoidal symbol-clock drift amplitude in ppm (the M&M
+        loop's omega must track it; period ~1/4 of the capture).
+      freq_drift: sinusoidal carrier drift amplitude as a fraction of the
+        sample rate, on top of `freq_offset` (Costas must track it).
+    """
+    from scipy.signal import fftconvolve
+
     from xritdemod_tpu.ops import filters
 
     rng = rng or np.random.default_rng(0)
@@ -135,18 +146,36 @@ def modulate(
     os_factor = 4
     ntaps = 127
     nsym = len(symbols)
-    fine_len = int(nsym * sps * os_factor) + ntaps * os_factor
-    impulses = np.zeros(fine_len)
-    pos = (np.arange(nsym) * sps * os_factor).astype(np.int64)
+    if clock_ppm:
+        # Per-symbol period modulated at ~4 cycles over the capture.
+        t = np.arange(nsym) / nsym
+        per = sps * (1.0 + clock_ppm * 1e-6 * np.sin(2 * np.pi * 4 * t))
+        centers = np.concatenate([[0.0], np.cumsum(per[:-1])])
+        pos = (centers * os_factor).astype(np.int64)
+    else:
+        pos = (np.arange(nsym) * sps * os_factor).astype(np.int64)
+    fine_len = int(pos[-1]) + ntaps * os_factor + 1
+    impulses = np.zeros(fine_len, np.float32)
     impulses[pos] = symbols
     fine_rate = cfg.circuit_sample_rate * os_factor
     rc = filters.rrc_taps(
         1.0, fine_rate, cfg.symbol_rate, cfg.rrc_alpha, ntaps * os_factor
     )
-    shaped = np.convolve(impulses, rc.astype(np.float64) * os_factor, mode="same")
+    shaped = fftconvolve(
+        impulses.astype(np.float64), rc.astype(np.float64) * os_factor,
+        mode="same",
+    )
     sig = shaped[::os_factor].astype(np.complex128)
     n = np.arange(len(sig))
-    sig = sig * np.exp(1j * (2 * np.pi * freq_offset * n + phase)) * amp
+    f = freq_offset
+    ph = 2 * np.pi * f * n + phase
+    if freq_drift:
+        # integral of freq_offset + freq_drift*sin(2pi*2*n/N)
+        N = len(sig)
+        ph = ph + freq_drift * N / 2.0 * (
+            1.0 - np.cos(2 * np.pi * 2 * n / N)
+        )
+    sig = sig * np.exp(1j * ph) * amp
     if noise:
         sig = sig + (
             rng.normal(size=len(sig)) + 1j * rng.normal(size=len(sig))
