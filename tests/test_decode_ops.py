@@ -278,6 +278,8 @@ class TestDecodeMulti:
             b1, tails = dec._decode_frames(jnp.asarray(frames[:, f]), tails)
             seq.append(b1)
         for name in mb._fields:
+            if getattr(mb, name) is None:     # forensics off -> None
+                continue
             got = np.asarray(getattr(mb, name))
             want = np.stack(
                 [np.asarray(getattr(b1, name)) for b1 in seq], axis=1

@@ -231,3 +231,29 @@ class TestFoldedFused:
         got_h = {(v, c, p) for (_, v, c, p) in out_h}
         want = {(11, i, bytes(vcdus[i])) for i in range(len(vcdus))}
         assert got_f == got_h == want
+
+
+class TestRingBf16:
+    def test_bf16_ring_roundtrip(self, rng):
+        """bf16 ring storage (the TPU default) round-trips symbols at
+        bf16 precision through append+extract."""
+        from xritdemod_tpu.ops.ring_pallas import ring_append, ring_extract
+
+        C, L, S, E = 16, 1024, 300, 256
+        ring = jnp.zeros((C, L), jnp.bfloat16)
+        fill = jnp.zeros((C,), jnp.int32)
+        new = rng.normal(size=(C, S)).astype(np.float32)
+        n = np.full(C, S, np.int32)
+        ring, fill, ovf = ring_append(
+            ring, fill, jnp.asarray(new), jnp.asarray(n), interpret=True
+        )
+        assert ring.dtype == jnp.bfloat16 and not np.asarray(ovf).any()
+        ring, fill, out, ok = ring_extract(
+            ring, fill, jnp.zeros((C,), jnp.int32), E, interpret=True
+        )
+        assert np.asarray(ok).all()
+        np.testing.assert_array_equal(
+            np.asarray(out.astype(jnp.float32)),
+            np.asarray(jnp.asarray(new[:, :E]).astype(jnp.bfloat16)
+                       .astype(jnp.float32)),
+        )

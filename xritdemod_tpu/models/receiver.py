@@ -74,11 +74,23 @@ class FusedReceiver:
         block_len: int = 1 << 17,
         ring_len: int | None = None,
         extracts_per_step: int | None = None,
+        ring_dtype: str = "auto",
     ):
         self.demod_config = demod_config
         self.decoder_config = decoder_config
         self.channels = channels
         self.block_len = block_len
+        # Ring storage: bf16 on TPU (half the ring HBM/VMEM traffic; its
+        # 8-bit mantissa carries at least the precision of the reference's
+        # int8 symbol wire, SymbolManager.cpp:43-46), exact f32 on CPU so
+        # the golden StreamDecoder-equivalence tests stay bit-identical.
+        if ring_dtype == "auto":
+            ring_dtype = (
+                "bfloat16"
+                if jax.default_backend() == "tpu" and channels % 16 == 0
+                else "float32"
+            )
+        self.ring_dtype = jnp.dtype(ring_dtype)
         self._demod = Demodulator(demod_config, block_len)
         self._dec = CaduDecoder(decoder_config)
         self._templates = corr_op.make_templates(decoder_config.uws)
@@ -100,7 +112,7 @@ class FusedReceiver:
         Cn, L = self.channels, self.ring_len
         return RxState(
             demod=self._demod.init_state_batch(Cn),
-            ring=jnp.zeros((Cn, L), jnp.float32),
+            ring=jnp.zeros((Cn, L), self.ring_dtype),
             fill=jnp.zeros((Cn,), jnp.int32),
             locked=jnp.zeros((Cn,), jnp.bool_),
             tails=jnp.zeros((Cn, C.LAST_FRAME_DATA_BITS), jnp.float32),

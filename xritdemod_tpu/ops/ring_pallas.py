@@ -55,10 +55,12 @@ def _barrel(x: jax.Array, amt: jax.Array, L: int, left: bool) -> jax.Array:
 
 def _append_kernel(ring_ref, fill_ref, new_ref, n_ref,
                    ring_out, fill_out, ovf_out, *, L, S):
-    ring = ring_ref[:, :]
+    # Mosaic's lane rotate is 32-bit only, so narrow (bf16) rings convert
+    # to f32 at the VMEM edge — HBM traffic stays narrow, rolls run f32.
+    ring = ring_ref[:, :].astype(jnp.float32)
     fill = fill_ref[:, :]
     n = n_ref[:, :]
-    new = new_ref[:, :]
+    new = new_ref[:, :].astype(jnp.float32)
     lane_s = jax.lax.broadcasted_iota(jnp.int32, new.shape, 1)
     newm = jnp.where(lane_s < n, new, 0.0)
     buf = jnp.pad(newm, ((0, 0), (0, L - S)))
@@ -66,29 +68,38 @@ def _append_kernel(ring_ref, fill_ref, new_ref, n_ref,
     buf = _barrel(buf, jnp.where(ok, fill, 0), L, left=False)
     # Slots >= fill are zero (invariant) and the rolled buffer is zero
     # outside [fill, fill+n), so merge is a plain add.
-    ring_out[:, :] = ring + jnp.where(ok, buf, 0.0)
+    ring_out[:, :] = (ring + jnp.where(ok, buf, 0.0)).astype(
+        ring_out.dtype
+    )
     fill_out[:, :] = jnp.where(ok, fill + n, fill)
     ovf_out[:, :] = jnp.logical_not(ok).astype(jnp.int32)
 
 
 def _extract_kernel(ring_ref, fill_ref, pos_ref,
                     ring_out, fill_out, out_ref, ok_out, *, L, E):
-    ring = ring_ref[:, :]
+    ring = ring_ref[:, :].astype(jnp.float32)  # see _append_kernel note
     fill = fill_ref[:, :]
     pos = pos_ref[:, :]
     ok = fill >= (pos + E)
     rolled = _barrel(ring, jnp.where(ok, pos, 0), L, left=True)
-    out_ref[:, :] = rolled[:, :E]
+    out_ref[:, :] = rolled[:, :E].astype(out_ref.dtype)
     dropped = pltpu.roll(rolled, L - (E % L), axis=1)
     new_fill = jnp.where(ok, fill - (pos + E), fill)
     ring2 = jnp.where(ok, dropped, ring)
     lane = jax.lax.broadcasted_iota(jnp.int32, ring2.shape, 1)
-    ring_out[:, :] = jnp.where(lane < new_fill, ring2, 0.0)
+    ring_out[:, :] = jnp.where(lane < new_fill, ring2, 0.0).astype(
+        ring_out.dtype
+    )
     fill_out[:, :] = new_fill
     ok_out[:, :] = ok.astype(jnp.int32)
 
 
-def _rows(C: int) -> int:
+def _rows(C: int, dtype) -> int:
+    # 8-row tiles for every dtype: bf16's native (16, 128) tile would
+    # double the per-step VMEM working set past the 16 MB scoped limit
+    # once the in-kernel f32 roll copies are counted (Mosaic pads the
+    # sublanes instead).
+    del dtype
     return 8 if C % 8 == 0 else C
 
 
@@ -96,7 +107,8 @@ def _rows(C: int) -> int:
 def _append_call(ring, fill, new, n_new, *, interpret):
     C, L = ring.shape
     S = new.shape[1]
-    R = _rows(C)
+    new = new.astype(ring.dtype)
+    R = _rows(C, ring.dtype)
     grid = (C // R,)
     row = lambda i: (i, 0)
     ring2, fill2, ovf = pl.pallas_call(
@@ -127,7 +139,7 @@ def _append_call(ring, fill, new, n_new, *, interpret):
 def _extract_call(ring, fill, pos, *, extract, interpret):
     C, L = ring.shape
     E = extract
-    R = _rows(C)
+    R = _rows(C, ring.dtype)
     grid = (C // R,)
     row = lambda i: (i, 0)
     ring2, fill2, out, ok = pl.pallas_call(
