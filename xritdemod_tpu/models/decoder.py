@@ -212,6 +212,12 @@ class CaduDecoder:
             # starts to dominate.  Measured at B=256: S=4 51.0k, S=8
             # 49.3k, S=16 47.7k frames/s vs 9.3k unsegmented.
             segs = min(16, max(4, 1024 // max(B, 1))) if on_tpu else 0
+            # VMEM cap: the segmented kernel's decision planes overflow
+            # the 16 MB scoped limit past B*S = 8192 windows (measured:
+            # 16384 OOMs); halving S keeps huge batches decodable
+            # (B=4096 x S=2: 118k frames/s).
+            while segs > 1 and B * segs > 8192:
+                segs //= 2
         if on_tpu and segs >= 2 and (B * segs) % 8 == 0:
             from xritdemod_tpu.ops.viterbi_pallas import (
                 viterbi_decode_segmented,
