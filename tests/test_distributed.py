@@ -108,3 +108,59 @@ def test_distributed_channel_receiver_single_process(rng):
     )
     assert np.array_equal(valid, np.asarray(rv))
     np.testing.assert_allclose(soft, np.asarray(rs), atol=1e-5)
+
+
+def test_distributed_fused_receiver_single_process(rng):
+    """DistributedFusedReceiver on a 1-process (1, 8) mesh recovers the
+    same frames as the unsharded FusedReceiver (per-device rings/locks,
+    zero collectives)."""
+    import jax
+    import numpy as np
+
+    from xritdemod_tpu import tx
+    from xritdemod_tpu.models.decoder import DecoderConfig
+    from xritdemod_tpu.models.demodulator import DemodConfig
+    from xritdemod_tpu.models.receiver import FusedReceiver
+    from xritdemod_tpu.parallel.distributed import (
+        DistributedFusedReceiver,
+        make_host_mesh,
+    )
+
+    cfg = DemodConfig.lrit(sample_rate=1_250_000)
+    dcfg = DecoderConfig(mode="lrit")
+    T = 1 << 15
+    vcdus = tx.make_vcdus(4, scid=13, vcid=3, rng=rng)
+    symbols = tx.encode_stream(vcdus, lrit=True, amp=1.0, rng=rng)
+    sig = tx.modulate(symbols, cfg, rng)
+    nblocks = len(sig) // T
+
+    mesh = make_host_mesh()
+    drx = DistributedFusedReceiver(
+        cfg, dcfg, channels_per_device=8, block_len=T, mesh=mesh
+    )
+    rx = FusedReceiver(cfg, dcfg, channels=drx.channels, block_len=T)
+
+    def collect(batch, ok, fok, k):
+        out = []
+        vcid = np.asarray(batch.vcid)
+        ctr = np.asarray(batch.counter)
+        vc = np.asarray(batch.vcdu)
+        for c in range(vcid.shape[0]):
+            for j in range(k):
+                if ok[c, j] and fok[c, j]:
+                    out.append((c, int(vcid[c, j]), int(ctr[c, j]),
+                                bytes(vc[c, j])))
+        return out
+
+    dst, ust = drx.init_state(), rx.init_state()
+    got_d, got_u = [], []
+    for b in range(nblocks):
+        x = np.tile(sig[b * T : (b + 1) * T], (drx.channels, 1))
+        db, dok, dovf, dst = drx.step(x, dst)
+        ub, uok, uovf, ust = rx.step(x, ust)
+        got_d.extend(collect(db, np.asarray(dok), np.asarray(db.frame_ok),
+                             drx.k))
+        got_u.extend(collect(ub, np.asarray(uok), np.asarray(ub.frame_ok),
+                             rx.k))
+    assert len(got_u) >= drx.channels * 2   # sanity: frames recovered
+    assert got_d == got_u

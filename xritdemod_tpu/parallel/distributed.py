@@ -44,6 +44,7 @@ __all__ = [
     "make_host_mesh",
     "DistributedChannelReceiver",
     "DistributedTimeBlockDemodulator",
+    "DistributedFusedReceiver",
 ]
 
 
@@ -266,3 +267,82 @@ class DistributedTimeBlockDemodulator:
         xi = _to_global(self._sharding, im.reshape(shape))
         soft, valid = self._tb._step((xr, xi))
         return _to_local(soft), _to_local(valid)
+
+
+class DistributedFusedReceiver:
+    """The flagship fused on-device receive (models/receiver.FusedReceiver:
+    IQ -> symbol ring -> sync -> FEC, no host symbol hop), channel-sharded
+    over a (hosts, chips) mesh.
+
+    Every device runs the complete fused step on its own channel slab —
+    ring/lock/tail state never crosses devices, so this axis needs zero
+    collectives; each process feeds and reads only its local channels.
+    """
+
+    def __init__(
+        self,
+        demod_config,
+        decoder_config,
+        channels_per_device: int = 128,
+        block_len: int = 1 << 17,
+        mesh: Mesh | None = None,
+        **rx_kwargs,
+    ):
+        from xritdemod_tpu.models.receiver import FusedReceiver
+
+        self.mesh = mesh if mesh is not None else make_host_mesh()
+        axes = tuple(self.mesh.axis_names)
+        self.spec = P(axes)
+        self.sharding = NamedSharding(self.mesh, self.spec)
+        nl = self.mesh.shape[axes[1]]
+        self.channels = channels_per_device * self.mesh.size
+        self.channels_local = channels_per_device * nl
+        self._rx = FusedReceiver(
+            demod_config, decoder_config,
+            channels=channels_per_device,   # per-device slab
+            block_len=block_len, **rx_kwargs,
+        )
+        self.k = self._rx.k
+        self.ring_len = self._rx.ring_len
+        self._step = jax.jit(
+            jax.shard_map(
+                self._rx._step_impl,
+                mesh=self.mesh,
+                in_specs=(self.spec, self.spec),
+                out_specs=(self.spec, self.spec, self.spec, self.spec),
+                check_vma=False,
+            )
+        )
+
+    def init_state(self):
+        # Every leaf of the per-device RxState has a channels_per_device
+        # leading dim; every device starts identical, so tile rows to this
+        # process's slab and lift to the globally sharded array.
+        local = self._rx.init_state()
+
+        def lift(a):
+            reps = self.channels_local // a.shape[0]
+            tiled = np.tile(np.asarray(a), (reps,) + (1,) * (a.ndim - 1))
+            return _to_global(self.sharding, tiled)
+
+        return jax.tree.map(lift, local)
+
+    def step(self, x_local, state):
+        """`(C_local, T)` complex/CF32 IQ for THIS process -> (local numpy
+        FrameBatch pytree with (C_local, k) fields, ok, overflow, state)."""
+        if isinstance(x_local, CF32):
+            re, im = np.asarray(x_local.re), np.asarray(x_local.im)
+        else:
+            x_local = np.asarray(x_local)
+            re = x_local.real.astype(np.float32)
+            im = x_local.imag.astype(np.float32)
+        xg = CF32(
+            _to_global(self.sharding, re), _to_global(self.sharding, im)
+        )
+        batch, ok, ovf, state = self._step(xg, state)
+        return (
+            jax.tree.map(_to_local, batch),
+            _to_local(ok),
+            _to_local(ovf),
+            state,
+        )
