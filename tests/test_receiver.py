@@ -257,3 +257,38 @@ class TestRingBf16:
             np.asarray(jnp.asarray(new[:, :E]).astype(jnp.bfloat16)
                        .astype(jnp.float32)),
         )
+
+
+class TestRxCheckpoint:
+    def test_rx_state_roundtrip_and_resume(self, tmp_path, rng):
+        """The fused receiver's whole carried state (demod + ring + locks
+        + tails) checkpoints and resumes identically (SURVEY.md §5:
+        checkpoint/resume as a first-class aux subsystem)."""
+        import jax
+
+        from xritdemod_tpu.models.receiver import FusedReceiver
+        from xritdemod_tpu.runtime.checkpoint import load_state, save_state
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        dcfg = DecoderConfig(mode="lrit", frames_per_block=1)
+        Cn, T = 2, 1 << 15
+        sig, _ = _make_capture(rng, cfg, Cn, frames_per_channel=4)
+        rx = FusedReceiver(cfg, dcfg, channels=Cn, block_len=T)
+        st = rx.init_state()
+        for b in range(2):
+            _, _, _, st = rx.step(sig[:, b * T : (b + 1) * T], st)
+
+        path = str(tmp_path / "rx.npz")
+        save_state(path, st)
+        st2 = load_state(path, rx.init_state())
+        for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # Resumed run continues bit-identically.
+        x = sig[:, 2 * T : 3 * T]
+        b1, ok1, _, _ = rx.step(x, st)
+        b2, ok2, _, _ = rx.step(x, st2)
+        np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+        np.testing.assert_array_equal(
+            np.asarray(b1.vcdu), np.asarray(b2.vcdu)
+        )
