@@ -93,6 +93,9 @@ def bench_demod(mode: str):
     csc = int(os.environ.get("BENCH_CLOCK_SUPERCHUNKS", "0"))
     if csc:
         cfg = dataclasses.replace(cfg, clock_superchunks=csc)
+    cmb = int(os.environ.get("BENCH_CLOCK_MAX_BLOCK", "0"))
+    if cmb:
+        cfg = dataclasses.replace(cfg, clock_max_block=cmb)
     demod = ChannelDemodulator(cfg, channels=C, block_len=T)
 
     rng = np.random.default_rng(0)
