@@ -111,11 +111,22 @@ class TestFrontends:
         assert len(iq) == 2 * len(data)
         np.testing.assert_allclose(iq[0::2], data.real, rtol=1e-6)
 
-    def test_make_frontend_rejects_usb(self, tmp_path):
+    def test_make_frontend_usb_types(self, tmp_path):
+        """USB frontends construct by type string (demodulator.cpp:340-428)
+        and raise at start() only when the shared library is absent."""
+        from xritdemod_tpu.runtime import usb_frontends as uf
+
         parser = cfg_mod.ConfigParser(str(tmp_path / "x.cfg"))
         parser["filename"] = "x.bin"
-        with pytest.raises(NotImplementedError):
-            make_frontend("airspy", parser)
+        for dtype, cls in (
+            ("airspy", uf.AirspyFrontend),
+            ("hackrf", uf.HackRFFrontend),
+            ("sdrplay", uf.SDRPlayFrontend),
+        ):
+            fe = make_frontend(dtype, parser)
+            assert isinstance(fe, cls)
+        with pytest.raises(ValueError):
+            make_frontend("nosuchsdr", parser)
 
     def test_normalize_samples_wire_types(self):
         from xritdemod_tpu.runtime.frontends import normalize_samples

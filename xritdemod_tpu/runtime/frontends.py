@@ -3,11 +3,12 @@
 Mirrors the reference's frontend abstraction
 (/root/reference/demodulator/src/FrontendDevice.h:19-38): rate/frequency/
 gain control plus push-callback sample delivery in one of three wire types.
-Hardware-USB frontends (Airspy/RTLSDR/HackRF/SDRPlay) are host-USB devices
-out of TPU scope; the interface keeps them pluggable, and `CFileFrontend`
-(recorded-capture playback, CFileFrontend.cpp:33-62 — the reference's de
-facto integration test) and the SpyServer network client
-(runtime/spyserver.py) are implemented.
+`CFileFrontend` (recorded-capture playback, CFileFrontend.cpp:33-62 — the
+reference's de facto integration test), `RtlFrontend` (u8 playback + live
+USB) live here; the SpyServer network client is runtime/spyserver.py and
+the other hardware-USB frontends (Airspy/HackRF/SDRPlay, ctypes bindings
+with the same raise-only-when-library-absent contract) are
+runtime/usb_frontends.py.
 """
 
 from __future__ import annotations
@@ -406,12 +407,16 @@ def make_frontend(device_type: str, cfg) -> FrontendDevice:
         )
     if device_type == "rtlsdr":
         return RtlFrontend(filename=cfg.get("filename") or None)
-    if device_type in ("airspy", "hackrf", "sdrplay"):
-        raise NotImplementedError(
-            f"'{device_type}' is a host-USB frontend outside TPU scope "
-            "(the reference ships HackRF disabled and SDRPlay non-free, "
-            "HackRFFrontend.cpp:8, CMakeLists.txt:67-71); use 'cfile' for "
-            "recorded captures, 'rtlsdr' with filename= for u8 captures, "
-            "or 'spyserver' for network IQ"
-        )
+    if device_type == "airspy":
+        from xritdemod_tpu.runtime.usb_frontends import AirspyFrontend
+
+        return AirspyFrontend()
+    if device_type == "hackrf":
+        from xritdemod_tpu.runtime.usb_frontends import HackRFFrontend
+
+        return HackRFFrontend()
+    if device_type == "sdrplay":
+        from xritdemod_tpu.runtime.usb_frontends import SDRPlayFrontend
+
+        return SDRPlayFrontend()
     raise ValueError(f"unknown deviceType '{device_type}'")
