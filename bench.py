@@ -93,6 +93,9 @@ def bench_demod(mode: str):
     csc = int(os.environ.get("BENCH_CLOCK_SUPERCHUNKS", "0"))
     if csc:
         cfg = dataclasses.replace(cfg, clock_superchunks=csc)
+    cch = int(os.environ.get("BENCH_CLOCK_CHUNK", "0"))
+    if cch:
+        cfg = dataclasses.replace(cfg, clock_chunk=cch)
     cmb = int(os.environ.get("BENCH_CLOCK_MAX_BLOCK", "0"))
     if cmb:
         cfg = dataclasses.replace(cfg, clock_max_block=cmb)

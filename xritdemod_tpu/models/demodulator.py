@@ -75,6 +75,11 @@ class DemodConfig:
     # Super-chunks per clock-kernel window DMA (0 = kernel default 64).
     # Scales the VMEM window scratch ~linearly; ct=512 needs <= 32 to fit.
     clock_superchunks: int = 0
+    # Symbols per clock-kernel chunk (0 = kernel default 8): each chunk
+    # pays one mini-barrel re-alignment, and each symbol's shrinking
+    # window shift costs ~(chunk - j) rows — smaller chunks shift less
+    # per symbol but re-align more often.
+    clock_chunk: int = 0
     # Rows per fused front-end grid step (0 = auto: 256, dropping to 128
     # at C >= 2048 and 64 at C >= 4096 where the G=C/128-plane VMEM
     # scratch would overflow).
@@ -274,6 +279,8 @@ class Demodulator:
             kw.update(ct=self.config.clock_tile)
         if self.config.clock_superchunks:
             kw.update(superchunks=self.config.clock_superchunks)
+        if self.config.clock_chunk and not K:
+            kw.update(chunk=self.config.clock_chunk)
         if interp:
             kw.update(chunk=min(4, K) if K else 4, superchunks=2)
         return kw

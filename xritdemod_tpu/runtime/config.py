@@ -73,8 +73,13 @@ class ConfigParser:
         self._data[key] = str(value)
 
 
-# Defaults mirror setDefaults (demodulator.cpp:177-211).
+# Defaults mirror setDefaults (demodulator.cpp:177-211), which calls
+# setLRITMode(normal=true) first — so the written file also carries
+# symbolRate/rrcAlpha/frequency like the reference's.
 DEMOD_DEFAULTS = {
+    "symbolRate": str(C.LRIT_SYMBOL_RATE),
+    "rrcAlpha": str(C.LRIT_RRC_ALPHA),
+    "frequency": str(C.LRIT_CENTER_FREQUENCY),
     "mode": "lrit",
     "deviceType": "cfile",
     "filename": "",
