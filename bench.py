@@ -201,7 +201,11 @@ def bench_rx(mode: str):
         cfg = DemodConfig.lrit(sample_rate=LRIT_RATE)
         baseline_msps = LRIT_RATE / 1e6
     rx = FusedReceiver(
-        cfg, DecoderConfig(mode=mode), channels=C_, block_len=T
+        cfg,
+        DecoderConfig(mode=mode),
+        channels=C_,
+        block_len=T,
+        ring_dtype=os.environ.get("BENCH_RING", "auto"),
     )
     rng = np.random.default_rng(0)
     blocks = _make_signal_blocks(cfg, T, nblocks, rng, lrit=mode == "lrit")
