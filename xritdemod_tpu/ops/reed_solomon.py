@@ -322,7 +322,7 @@ def rs_decode(received: jax.Array) -> tuple[jax.Array, jax.Array]:
     bit-matmuls on the MXU; data*data products use the carry-less
     `_gfmul_bits`; inversion is a squaring chain (`_gfinv_bits`).
     """
-    msyn, mchien, mom, mdl = (jnp.asarray(m) for m in _bit_matrices())
+    msyn = jnp.asarray(_bit_matrices()[0])
     conv_im, dual_im = _basis_images()
 
     rin = received.astype(jnp.int32)
@@ -335,6 +335,24 @@ def rs_decode(received: jax.Array) -> tuple[jax.Array, jax.Array]:
         jnp.dot(rbits, msyn, preferred_element_type=jnp.float32)
     )                                                               # (B, 32)
     has_err = jnp.any(S != 0, axis=-1)
+
+    # Zero-syndrome fast path: when NO codeword in the batch has errors
+    # (the steady-state clean-sky case — post-Viterbi output is usually
+    # error-free), skip BM/Chien/Forney entirely.  Exact: the full path
+    # returns (r, 0) for clean rows anyway (Lambda = 1 has no roots).
+    corrected_conv, nerr = jax.lax.cond(
+        jnp.any(has_err),
+        functools.partial(_rs_correct, B=B),
+        lambda S, r, has_err: (r, jnp.zeros((B,), jnp.int32)),
+        S, r, has_err,
+    )
+    return _bitlinear_bytes(corrected_conv, dual_im).astype(jnp.uint8), nerr
+
+
+def _rs_correct(S, r, has_err, *, B):
+    """The errored path: BM + Chien + Forney on `(B, 32)` syndromes,
+    correcting `(B, 255)` conventional-basis codewords."""
+    _, mchien, mom, mdl = (jnp.asarray(m) for m in _bit_matrices())
 
     # ---- Berlekamp-Massey: scan over 32 masked iterations ---------------
     # Hankel windows of S built OUTSIDE the scan from static slices, so the
@@ -409,7 +427,7 @@ def rs_decode(received: jax.Array) -> tuple[jax.Array, jax.Array]:
     ok_decode = (~has_err) | ((nroots == L) & (L > 0) & (L <= C.RS_T))
     nerr = jnp.where(has_err, jnp.where(ok_decode, L, -1), 0)
     corrected_conv = jnp.where(ok_decode[:, None], corrected_conv, r)
-    return _bitlinear_bytes(corrected_conv, dual_im).astype(jnp.uint8), nerr
+    return corrected_conv, nerr
 
 
 def rs_decode_frame(frames: jax.Array) -> tuple[jax.Array, jax.Array]:

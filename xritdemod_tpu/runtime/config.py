@@ -122,15 +122,22 @@ def demod_config_from_file(
 ) -> tuple[DemodConfig, ConfigParser]:
     """Load demod config with mode presets (demodulator.cpp:245-341)."""
     p = _load_with_defaults(filename, DEMOD_DEFAULTS)
-    mode = p.get("mode", "lrit") if p.has_key("mode") else "lrit"
+    # When `mode` is present the preset OVERRIDES the file's symbolRate/
+    # rrcAlpha — the reference prints "Ignoring parameters from config
+    # file" and overwrites them via setLRITMode/setHRITMode(parser, false)
+    # before reading (demodulator.cpp:245-256, 177-197).  The file's
+    # explicit values only apply when no mode key exists.
+    mode = p.get("mode", "lrit") if p.has_key("mode") else ""
     if mode == "hrit":
         symbol_rate, rrc_alpha = C.HRIT_SYMBOL_RATE, C.HRIT_RRC_ALPHA
+    elif mode == "lrit":
+        symbol_rate, rrc_alpha = C.LRIT_SYMBOL_RATE, C.LRIT_RRC_ALPHA
     else:
         symbol_rate, rrc_alpha = C.LRIT_SYMBOL_RATE, C.LRIT_RRC_ALPHA
-    if p.has_key("symbolRate"):
-        symbol_rate = p.get_int("symbolRate")
-    if p.has_key("rrcAlpha"):
-        rrc_alpha = p.get_float("rrcAlpha")
+        if p.has_key("symbolRate"):
+            symbol_rate = p.get_int("symbolRate")
+        if p.has_key("rrcAlpha"):
+            rrc_alpha = p.get_float("rrcAlpha")
     sample_rate = (
         p.get_int("sampleRate") if p.has_key("sampleRate") else C.DEFAULT_SAMPLE_RATE
     )
