@@ -53,12 +53,18 @@ def timed(name, fn, *args):
 from xritdemod_tpu.ops.frontend_pallas import demod_frontend_pallas
 
 
+# Same auto-tuning the demodulator resolves (bf16 matmuls, K=8 slab,
+# row tile narrowing with C).
+_fe_rows = 64 if C >= 4096 else 128 if C >= 2048 else 256
+
+
 @jax.jit
 def frontend(x, st):
     xT = CF32(jnp.swapaxes(x.re, 0, 1), jnp.swapaxes(x.im, 0, 1))
     return demod_frontend_pallas(
         xT, st.agc_gain, st.rrc_hist, st.costas,
         dm._agc, dm._rrc_taps_t, dm._costas,
+        block_k=8, precision="bf16", rows=_fe_rows,
     )
 
 
@@ -68,10 +74,16 @@ yT, g, h, cs = timed("frontend (transpose+fused kernel)", frontend, x, state)
 from xritdemod_tpu.ops.clock_pallas import clock_recovery_block_pallas_batch_cl
 
 
+_ck_kw = dm._clock_pallas_kw(False)
+if C >= 1024 and C % 512 == 0:
+    _ck_kw.setdefault("ct", 512)
+    _ck_kw.setdefault("superchunks", 32)
+
+
 @jax.jit
 def clock_cl(yT, st):
     return clock_recovery_block_pallas_batch_cl(
-        yT, st.clock, dm._clock, dm.num_slots
+        yT, st.clock, dm._clock, dm.num_slots, **_ck_kw
     )
 
 

@@ -134,20 +134,30 @@ def _mm_kernel(
         cp_i.wait()
 
         # Barrel alignment: window row 0 becomes x[base_c] for every c.
+        # Stages run LARGEST shift first, each clipped to the rows that can
+        # still be read downstream (chunks only ever touch [0, SW8); after
+        # stage b the remaining shift is < 2^b) — bit-identical to the
+        # full-width ascending barrel on every row that is ever read, at
+        # ~2/3 the row traffic (SWE8 >> SW8 once the whole-block drift
+        # slack is counted).
         r = base - sh8                                   # (1, CT) in [0, spread+8]
-        for b in range(nb):
+        for b in reversed(range(nb)):
             sh = 1 << b
+            keep = min(SWE8, _r8(SW8 + sh))
+            src = min(SWE8, _r8(keep + sh))
             bit = ((r >> b) & 1) > 0                     # (1, CT)
-            cur_r = win_r[:]
-            cur_i = win_i[:]
-            sh_r = jnp.concatenate(
-                [cur_r[sh:], jnp.zeros((sh, CT), jnp.float32)], axis=0
-            )
-            sh_i = jnp.concatenate(
-                [cur_i[sh:], jnp.zeros((sh, CT), jnp.float32)], axis=0
-            )
-            win_r[:] = jnp.where(bit, sh_r, cur_r)
-            win_i[:] = jnp.where(bit, sh_i, cur_i)
+            cur_r = win_r[:src]
+            cur_i = win_i[:src]
+            avail = src - sh
+            if avail >= keep:
+                sh_r = cur_r[sh : sh + keep]
+                sh_i = cur_i[sh : sh + keep]
+            else:
+                z = jnp.zeros((keep - avail, CT), jnp.float32)
+                sh_r = jnp.concatenate([cur_r[sh:src], z], axis=0)
+                sh_i = jnp.concatenate([cur_i[sh:src], z], axis=0)
+            win_r[:keep] = jnp.where(bit, sh_r, cur_r[:keep])
+            win_i[:keep] = jnp.where(bit, sh_i, cur_i[:keep])
 
         state = (mu, om, ii, p1r, p2r, p3r, p1i, p2i, p3i,
                  c1r, c2r, c3r, c1i, c2i, c3i)
@@ -163,19 +173,26 @@ def _mm_kernel(
             rel0 = ii - base - w08[m]                    # (1, CT) >= 0
             cw_r = win_r[pl.ds(w08[m], SL), :]
             cw_i = win_i[pl.ds(w08[m], SL), :]
-            for b in range(nb2):
-                sh = 1 << b
-                bit = ((rel0 >> b) & 1) > 0
-                zpad = jnp.zeros((sh, CT), jnp.float32)
-                cw_r = jnp.where(
-                    bit, jnp.concatenate([cw_r[sh:], zpad], axis=0), cw_r
-                )
-                cw_i = jnp.where(
-                    bit, jnp.concatenate([cw_i[sh:], zpad], axis=0), cw_i
-                )
-            # Shrinking live window: symbol j only needs
-            # (chunk-j)*(a0+1) + 8 rows, so each shift moves less data.
+            # Mini-barrel, largest shift first with per-stage clipping to
+            # the rows the remaining shifts can still reach (the chunk
+            # only ever reads CW0 rows) — same dead-row elimination as the
+            # super barrel above, bit-identical on every read row.
             CW0 = chunk * (a0 + 1) + INTERP_TAPS
+            width = SL
+            for b in reversed(range(nb2)):
+                sh = 1 << b
+                keep = min(width, CW0 + sh)
+                bit = ((rel0 >> b) & 1) > 0
+                if sh + keep <= width:
+                    sh_r = cw_r[sh : sh + keep]
+                    sh_i = cw_i[sh : sh + keep]
+                else:
+                    zpad = jnp.zeros((sh + keep - width, CT), jnp.float32)
+                    sh_r = jnp.concatenate([cw_r[sh:width], zpad], axis=0)
+                    sh_i = jnp.concatenate([cw_i[sh:width], zpad], axis=0)
+                cw_r = jnp.where(bit, sh_r, cw_r[:keep])
+                cw_i = jnp.where(bit, sh_i, cw_i[:keep])
+                width = keep
             cw_r = cw_r[:CW0]
             cw_i = cw_i[:CW0]
 
