@@ -239,6 +239,22 @@ def bench_rx(mode: str):
                 st,
             )
         )
+    elif os.environ.get("BENCH_LAYOUT", "row") == "cl":
+        # Channels-last ingest: time-major (T, C) resident blocks feed the
+        # fused front-end kernel's native layout directly — no device-side
+        # input transpose (FusedReceiver.step_cl).
+        xs = [
+            CF32(
+                jnp.asarray(
+                    np.tile(b.real.astype(np.float32)[:, None], (1, C_))
+                ),
+                jnp.asarray(
+                    np.tile(b.imag.astype(np.float32)[:, None], (1, C_))
+                ),
+            )
+            for b in blocks
+        ]
+        rx_step = rx._step_cl
     else:
         # Honest variant: distinct materialized (C, T) buffers (real input
         # HBM reads).  BENCH_RX_BLOCKS must be small enough to fit.

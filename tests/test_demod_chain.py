@@ -224,6 +224,36 @@ class TestBlockUpdateClock:
         for v in got:
             assert bytes(v) in sent
 
+    def test_block_batch_cl_matches_row_major(self, rng):
+        """Channels-last ingest (block_batch_cl on a (T, C) block) is
+        bit-identical to block_batch on the transposed (C, T) block —
+        both through the forced-fused path (the TPU default, interpret
+        mode here) and through the CPU fallback."""
+        from xritdemod_tpu.utils.cplx import CF32
+
+        C, T = 128, 2048
+        for kernel in ("fused", "auto"):
+            cfg = DemodConfig.lrit(sample_rate=1_250_000,
+                                   frontend_kernel=kernel)
+            dm = Demodulator(cfg, block_len=T)
+            st_r = dm.init_state_batch(C)
+            st_c = dm.init_state_batch(C)
+            sig, _ = make_lrit_signal(rng, 2000, cfg)
+            for b in range(2):
+                x = np.tile(sig[b * T : (b + 1) * T], (C, 1))
+                xc = CF32(jnp.asarray(x.real.astype(np.float32)),
+                          jnp.asarray(x.imag.astype(np.float32)))
+                xt = CF32(jnp.asarray(x.real.astype(np.float32).T.copy()),
+                          jnp.asarray(x.imag.astype(np.float32).T.copy()))
+                soft_r, valid_r, st_r = dm.block_batch(xc, st_r)
+                soft_c, valid_c, st_c = dm.block_batch_cl(xt, st_c)
+                np.testing.assert_array_equal(
+                    np.asarray(valid_r), np.asarray(valid_c)
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(soft_r), np.asarray(soft_c)
+                )
+
     def test_frontend_bf16_rrc_matches_exact_symbols(self, rng):
         """Fused front-end with bf16 RRC matmul operands
         (frontend_precision="bf16", the MXU single-pass form) vs exact

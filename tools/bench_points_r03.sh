@@ -1,0 +1,18 @@
+#!/bin/bash
+# Sequential bench-point refresh for round 3 (ONE TPU process at a time).
+# Output: one labeled JSON line per point on stdout.
+cd /root/repo
+set -u
+run() {
+  label="$1"; shift
+  line=$(timeout 580 env "$@" python bench.py 2>/dev/null | tail -1)
+  echo "POINT ${label} ${line}"
+}
+run demod_lrit BENCH_KIND=demod
+run demod_lrit_signal BENCH_KIND=demod BENCH_SIGNAL=1
+run demod_hrit BENCH_KIND=demod BENCH_MODE=hrit
+run decode_lrit_b4096 BENCH_KIND=decode BENCH_FRAMES=4096
+run decode_hrit_b4096 BENCH_KIND=decode BENCH_MODE=hrit BENCH_FRAMES=4096
+run rx_lrit BENCH_KIND=rx
+run rx_hrit BENCH_KIND=rx BENCH_MODE=hrit
+echo DONE

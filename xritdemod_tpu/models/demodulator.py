@@ -368,6 +368,106 @@ class Demodulator:
             lambda a: jnp.broadcast_to(a, (channels,) + a.shape), one
         )
 
+    def _fused_cl(self, xT: CF32, dec_hist, state: DemodState, interp,
+                  fe_bu, fe_prec, fe_rows):
+        """The fused TPU path from a channels-last `(T, C)` block (the
+        front-end kernel's native layout)."""
+        from xritdemod_tpu.ops.clock_pallas import (
+            clock_recovery_block_pallas_batch_cl,
+        )
+        from xritdemod_tpu.ops.frontend_pallas import demod_frontend_pallas
+
+        T_, C_ = xT.re.shape
+        yT, agc_gain, rrc_hist, costas_state = demod_frontend_pallas(
+            xT, state.agc_gain, state.rrc_hist, state.costas,
+            self._agc, self._rrc_taps_t, self._costas,
+            interpret=interp,
+            block_k=fe_bu,
+            precision=fe_prec,
+            rows=fe_rows,
+        )
+        ck_kw = self._clock_pallas_kw(interp)
+        if not interp and C_ >= 1024 and C_ % 512 == 0:
+            # Wider lane tile halves the sequential per-symbol passes
+            # per tensorcore (measured 2877 vs 2639 Msamp/s at
+            # C=1024); superchunks=32 keeps the window scratch within
+            # the 16 MB scoped-VMEM limit at ct=512.
+            ck_kw.setdefault("ct", 512)
+            ck_kw.setdefault("superchunks", 32)
+
+        # Long blocks run the clock kernel as chained segments (its
+        # window scratch grows with block length — clock_max_block).
+        def run_seg_cl(start, rows, slots, cstate):
+            ys = CF32(yT.re[start:start + rows],
+                      yT.im[start:start + rows])
+            s_i, v_i, cstate = clock_recovery_block_pallas_batch_cl(
+                ys, cstate, self._clock, slots,
+                interpret=interp, **ck_kw,
+            )
+            return s_i.re, v_i, cstate
+
+        syms_re, valid, clock_state = self._run_clock_segs(
+            run_seg_cl, T_, state.clock
+        )
+        return syms_re, valid, DemodState(
+            dec_hist=dec_hist,
+            agc_gain=agc_gain,
+            rrc_hist=rrc_hist,
+            costas=costas_state,
+            clock=clock_state,
+        )
+
+    def _resolve_fused(self, C_: int, T_: int):
+        """(use_fused, interp, fe_bu, fe_prec, fe_rows) for a batch block."""
+        cfg = self.config
+        on_tpu = jax.default_backend() == "tpu"
+        interp = not on_tpu
+        stream_ok = on_tpu and C_ % 128 == 0 and T_ % 256 == 0
+        use_fused = cfg.frontend_kernel == "fused" or (
+            cfg.frontend_kernel == "auto"
+            and stream_ok
+            and cfg.agc_kernel in ("auto", "pallas")
+            and cfg.costas_kernel in ("auto", "pallas")
+            and cfg.fir_kernel in ("auto", "matmul")
+            and cfg.clock_kernel in ("auto", "pallas")
+        )
+        fe_bu = cfg.frontend_block_update
+        if fe_bu < 0:
+            fe_bu = 8 if (use_fused and on_tpu) else 0
+        fe_prec = cfg.frontend_precision
+        if fe_prec == "auto":
+            fe_prec = "bf16" if (use_fused and on_tpu) else "highest"
+        fe_rows = cfg.frontend_rows
+        if fe_rows == 0:
+            fe_rows = 64 if C_ >= 4096 else 128 if C_ >= 2048 else 256
+        return use_fused, interp, fe_bu, fe_prec, fe_rows
+
+    def block_batch_cl(self, xT: CF32, state: DemodState):
+        """Channels-last ingest: `(T, C)` CF32 block -> (soft, valid,
+        state), identical results to `block_batch(transpose(xT))` without
+        the device-side input transpose.  Time-major is the natural wire
+        order of an interleaved multichannel source, and the fused
+        front-end kernel consumes `(T, C)` directly — at C=2048 the
+        skipped `(C, T) -> (T, C)` transpose is ~4 GB of HBM traffic per
+        131072-sample block.  Falls back to `block_batch` (one transpose)
+        when the fused-path prerequisites don't hold."""
+        T_, C_ = xT.re.shape
+        use_fused, interp, fe_bu, fe_prec, fe_rows = self._resolve_fused(
+            C_, T_
+        )
+        if not use_fused or self.config.decimation > 1:
+            x = CF32(jnp.swapaxes(xT.re, 0, 1), jnp.swapaxes(xT.im, 0, 1))
+            return self.block_batch(x, state)
+        expect = self.block_len // self.config.decimation
+        if T_ != expect:
+            raise ValueError(
+                f"block_batch_cl got {T_} samples; this Demodulator was "
+                f"built for block_len={self.block_len} (-> {expect})"
+            )
+        return self._fused_cl(
+            xT, state.dec_hist, state, interp, fe_bu, fe_prec, fe_rows
+        )
+
     def block_batch(self, x: CF32, state: DemodState):
         """`(C, T)` CF32 block with `(C,)`-leading state: the throughput
         path.  The FIR/AGC/Costas ops batch natively over leading dims; the
@@ -381,7 +481,6 @@ class Demodulator:
         else:
             dec_hist = state.dec_hist
         on_tpu = jax.default_backend() == "tpu"
-        interp = not on_tpu     # forced-Pallas off-TPU runs interpret mode
         C_, T_ = x.re.shape
         # num_slots (and the clock segmentation) were budgeted from
         # block_len at construction; a different post-decimation length
@@ -394,72 +493,17 @@ class Demodulator:
                 f"(-> {expect})"
             )
         stream_ok = on_tpu and C_ % 128 == 0 and T_ % 256 == 0
-        use_fused = cfg.frontend_kernel == "fused" or (
-            cfg.frontend_kernel == "auto"
-            and stream_ok
-            and cfg.agc_kernel in ("auto", "pallas")
-            and cfg.costas_kernel in ("auto", "pallas")
-            and cfg.fir_kernel in ("auto", "matmul")
-            and cfg.clock_kernel in ("auto", "pallas")
+        # Resolution notes: the auto (-1) slab size is K=8 inside the
+        # fused TPU kernel (measured optimum), exact per-sample forms
+        # elsewhere (incl. forced-fused interpret runs on CPU, which the
+        # tests compare bit-for-bit against the exact split path).
+        use_fused, interp, fe_bu, fe_prec, fe_rows = self._resolve_fused(
+            C_, T_
         )
-        # Resolve the auto (-1) slab size: K=8 inside the fused TPU
-        # kernel (measured optimum), exact per-sample forms elsewhere
-        # (incl. forced-fused interpret runs on CPU, which the tests
-        # compare bit-for-bit against the exact split path).
-        fe_bu = cfg.frontend_block_update
-        if fe_bu < 0:
-            fe_bu = 8 if (use_fused and on_tpu) else 0
-        fe_prec = cfg.frontend_precision
-        if fe_prec == "auto":
-            fe_prec = "bf16" if (use_fused and on_tpu) else "highest"
-        fe_rows = cfg.frontend_rows
-        if fe_rows == 0:
-            fe_rows = 64 if C_ >= 4096 else 128 if C_ >= 2048 else 256
         if use_fused:
-            from xritdemod_tpu.ops.clock_pallas import (
-                clock_recovery_block_pallas_batch_cl,
-            )
-            from xritdemod_tpu.ops.frontend_pallas import (
-                demod_frontend_pallas,
-            )
-
             xT = CF32(jnp.swapaxes(x.re, 0, 1), jnp.swapaxes(x.im, 0, 1))
-            yT, agc_gain, rrc_hist, costas_state = demod_frontend_pallas(
-                xT, state.agc_gain, state.rrc_hist, state.costas,
-                self._agc, self._rrc_taps_t, self._costas,
-                interpret=interp,
-                block_k=fe_bu,
-                precision=fe_prec,
-                rows=fe_rows,
-            )
-            ck_kw = self._clock_pallas_kw(interp)
-            if not interp and C_ >= 1024 and C_ % 512 == 0:
-                # Wider lane tile halves the sequential per-symbol passes
-                # per tensorcore (measured 2877 vs 2639 Msamp/s at
-                # C=1024); superchunks=32 keeps the window scratch within
-                # the 16 MB scoped-VMEM limit at ct=512.
-                ck_kw.setdefault("ct", 512)
-                ck_kw.setdefault("superchunks", 32)
-            # Long blocks run the clock kernel as chained segments (its
-            # window scratch grows with block length — clock_max_block).
-            def run_seg_cl(start, rows, slots, cstate):
-                ys = CF32(yT.re[start:start + rows],
-                          yT.im[start:start + rows])
-                s_i, v_i, cstate = clock_recovery_block_pallas_batch_cl(
-                    ys, cstate, self._clock, slots,
-                    interpret=interp, **ck_kw,
-                )
-                return s_i.re, v_i, cstate
-
-            syms_re, valid, clock_state = self._run_clock_segs(
-                run_seg_cl, T_, state.clock
-            )
-            return syms_re, valid, DemodState(
-                dec_hist=dec_hist,
-                agc_gain=agc_gain,
-                rrc_hist=rrc_hist,
-                costas=costas_state,
-                clock=clock_state,
+            return self._fused_cl(
+                xT, dec_hist, state, interp, fe_bu, fe_prec, fe_rows
             )
         if cfg.agc_kernel == "pallas" or (
             cfg.agc_kernel == "auto" and stream_ok

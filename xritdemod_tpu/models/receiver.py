@@ -107,6 +107,7 @@ class FusedReceiver:
         self.ring_len = L
         self._acq = _CODED + corr_op.UW_BITS - 1
         self._step = jax.jit(self._step_impl)
+        self._step_cl = jax.jit(self._step_cl_impl)
 
     def init_state(self) -> RxState:
         Cn, L = self.channels, self.ring_len
@@ -119,8 +120,20 @@ class FusedReceiver:
         )
 
     def _step_impl(self, x: CF32, st: RxState):
+        return self._after_demod(
+            self._demod.block_batch(x, st.demod), st
+        )
+
+    def _step_cl_impl(self, xT: CF32, st: RxState):
+        # Channels-last ingest: skips the device-side (C, T) -> (T, C)
+        # input transpose (see Demodulator.block_batch_cl).
+        return self._after_demod(
+            self._demod.block_batch_cl(xT, st.demod), st
+        )
+
+    def _after_demod(self, demod_out, st: RxState):
         interp = jax.default_backend() != "tpu"
-        soft, valid, dstate = self._demod.block_batch(x, st.demod)
+        soft, valid, dstate = demod_out
         # The clock kernel's valid mask is a per-channel prefix (slots are
         # emitted in symbol order), so `soft` is already dense: the count
         # is all the append needs.
@@ -183,3 +196,12 @@ class FusedReceiver:
         if not isinstance(x, CF32):
             x = from_complex(x)
         return self._step(x, state)
+
+    def step_cl(self, xT, state: RxState):
+        """Channels-last variant: `(T, C)` IQ block (time-major, the
+        natural wire order of an interleaved multichannel source) —
+        identical results to `step` without the device-side input
+        transpose."""
+        if not isinstance(xT, CF32):
+            xT = from_complex(xT)
+        return self._step_cl(xT, state)
