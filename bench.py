@@ -325,6 +325,18 @@ def bench_decode(mode: str):
 
     vcdus = tx.make_vcdus(B, rng=np.random.default_rng(1))
     soft = tx.encode_stream(vcdus, lrit=lrit, noise=0.1)
+    if os.environ.get("BENCH_RS_ERRORED", "0") == "1":
+        # Force the RS errored path: strong 30-symbol inversion bursts
+        # punch correctable byte errors through Viterbi into every frame,
+        # so the zero-syndrome fast path never fires and the full
+        # BM/Chien/Forney cost is measured (the clean-path default is the
+        # steady-state number; this point is its worst-case counterpart).
+        rng_e = np.random.default_rng(7)
+        soft = soft.reshape(B, 16384).copy()
+        for f in range(B):
+            for pos in rng_e.integers(700, 15600, size=12):
+                soft[f, pos : pos + 30] *= -1.0
+        soft = soft.reshape(-1)
     import jax.numpy as jnp
 
     soft_dev = jnp.asarray(soft)
@@ -341,6 +353,10 @@ def bench_decode(mode: str):
     print(f"# compile+first {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     ok = int(np.asarray(batch.frame_ok).sum())
     assert ok == B, f"decode bench integrity: {ok}/{B} frames ok"
+    if os.environ.get("BENCH_RS_ERRORED", "0") == "1":
+        nerr = int(np.clip(np.asarray(batch.rs_errors), 0, None).sum())
+        assert nerr > 0, "errored-path bench made no RS corrections"
+        print(f"# rs corrections: {nerr}", file=sys.stderr)
 
     times = []
     for _ in range(iters):
