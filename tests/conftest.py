@@ -28,3 +28,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs():
+    """Free each module's compiled executables when the module finishes.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables in one
+    process; past roughly half the suite the next large compile segfaults
+    inside LLVM (observed repeatedly at test_receiver.py's folded-fused
+    test in full-suite runs, while every file passes standalone and any
+    4-file subset passes).  Dropping jax's caches between modules keeps
+    the JIT arena bounded; it costs a few recompiles of programs shared
+    across files.
+    """
+    yield
+    jax.clear_caches()
