@@ -190,8 +190,8 @@ def bench_rx(mode: str):
     from xritdemod_tpu.utils.cplx import CF32
 
     # C=2048 matches the demod sweet spot and measured best here too
-    # (2255 Msamp/s vs 2152 at C=1024); inputs stay (1, T)-resident and
-    # broadcast in-jit, so HBM holds the ring, not the capture.
+    # (2255 Msamp/s vs 2152 at C=1024).  Input residency is governed by
+    # BENCH_RX_BCAST below (default: distinct resident (C, T) buffers).
     C_ = int(os.environ.get("BENCH_CHANNELS", "2048"))
     T = int(os.environ.get("BENCH_BLOCK", str(1 << 17)))
     iters = int(os.environ.get("BENCH_ITERS", "6"))

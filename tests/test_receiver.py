@@ -175,6 +175,36 @@ class TestFusedReceiver:
                 f"stream {len(ref[c])}"
             )
 
+    def test_step_cl_matches_row_major(self, rng):
+        """FusedReceiver.step_cl on (T, C) time-major blocks returns
+        exactly what step returns on the transposed (C, T) blocks — pins
+        the channels-last receiver wiring end to end (the fused-kernel cl
+        equality itself is pinned at the demod level by
+        test_demod_chain.py::test_block_batch_cl_matches_row_major)."""
+        import jax
+
+        from xritdemod_tpu.models.receiver import FusedReceiver
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        dcfg = DecoderConfig(mode="lrit", frames_per_block=1)
+        Cn, T = 2, 1 << 15
+        sig, _ = _make_capture(rng, cfg, Cn, frames_per_channel=2)
+        nblocks = sig.shape[1] // T
+
+        rx = FusedReceiver(cfg, dcfg, channels=Cn, block_len=T)
+        st_r = rx.init_state()
+        st_c = rx.init_state()
+        for b in range(nblocks):
+            x = sig[:, b * T : (b + 1) * T]
+            out_r = rx.step(x, st_r)
+            out_c = rx.step_cl(np.ascontiguousarray(x.T), st_c)
+            *res_r, st_r = out_r
+            *res_c, st_c = out_c
+            for a, bb in zip(jax.tree.leaves(res_r), jax.tree.leaves(res_c)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+        for a, bb in zip(jax.tree.leaves(st_r), jax.tree.leaves(st_c)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
     def test_relocks_after_stream_gap(self, rng):
         """A noise gap mid-capture unlocks the channel; the fused receiver
         re-acquires and recovers the post-gap frames (reference flywheel

@@ -41,13 +41,16 @@ tails = jnp.zeros((B, 64), jnp.float32)
 sync = lambda a: float(np.asarray(a).ravel()[0])
 
 
-def timed(name, fn, *args):
-    out = fn(*args)
+def timed(name, fn, carry):
+    """Pipelined: each iteration's output is the next's input, so the N
+    dispatches are genuinely serialized through a data dependency; one
+    device->host sync at each end."""
+    out = fn(carry)
     leaf = [l for l in jax.tree.leaves(out) if hasattr(l, "ndim")][0]
     sync(leaf[(0,) * leaf.ndim])
     t0 = time.perf_counter()
     for _ in range(N):
-        out = fn(*args)
+        out = fn(out)
     leaf = [l for l in jax.tree.leaves(out) if hasattr(l, "ndim")][0]
     sync(leaf[(0,) * leaf.ndim])
     dt = (time.perf_counter() - t0) / N

@@ -53,9 +53,10 @@ def timed(name, fn, *args):
 from xritdemod_tpu.ops.frontend_pallas import demod_frontend_pallas
 
 
-# Same auto-tuning the demodulator resolves (bf16 matmuls, K=8 slab,
-# row tile narrowing with C).
-_fe_rows = 64 if C >= 4096 else 128 if C >= 2048 else 256
+# The demodulator's own auto-tune resolution (bf16 matmuls, K=8 slab,
+# row tile narrowing with C) — shared so the profiler always times the
+# production configuration.
+_, _, _fe_bu, _fe_prec, _fe_rows = dm._resolve_fused(C, T)
 
 
 @jax.jit
@@ -64,7 +65,7 @@ def frontend(x, st):
     return demod_frontend_pallas(
         xT, st.agc_gain, st.rrc_hist, st.costas,
         dm._agc, dm._rrc_taps_t, dm._costas,
-        block_k=8, precision="bf16", rows=_fe_rows,
+        block_k=_fe_bu, precision=_fe_prec, rows=_fe_rows,
     )
 
 
@@ -74,10 +75,7 @@ yT, g, h, cs = timed("frontend (transpose+fused kernel)", frontend, x, state)
 from xritdemod_tpu.ops.clock_pallas import clock_recovery_block_pallas_batch_cl
 
 
-_ck_kw = dm._clock_pallas_kw(False)
-if C >= 1024 and C % 512 == 0:
-    _ck_kw.setdefault("ct", 512)
-    _ck_kw.setdefault("superchunks", 32)
+_ck_kw = dm._clock_pallas_kw(False, C)
 
 
 @jax.jit

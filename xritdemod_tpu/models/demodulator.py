@@ -262,13 +262,18 @@ class Demodulator:
         )
         return snr_estimate_db(y, self._rrc_taps_t, hpf)
 
-    def _clock_pallas_kw(self, interp: bool) -> dict:
+    def _clock_pallas_kw(self, interp: bool, channels: int = 0) -> dict:
         """Pallas clock-kernel launch options for the batch path.
 
         `clock_block_update=K` selects the frozen-clock K-symbol block
         update fused in the kernel (chunk=K); interpret mode (CPU tests)
         shrinks the geometry — the production 8x64 unrolls 512 symbol
-        steps and takes minutes to trace op-by-op.
+        steps and takes minutes to trace op-by-op.  Passing `channels`
+        applies the wide-batch auto-tune: at C >= 1024 (C % 512 == 0) a
+        ct=512 lane tile halves the sequential per-symbol passes per
+        tensorcore (measured 2877 vs 2639 Msamp/s at C=1024), with
+        superchunks=32 keeping the window scratch within the 16 MB
+        scoped-VMEM limit.
         """
         K = self.config.clock_block_update
         kw = {}
@@ -279,6 +284,9 @@ class Demodulator:
             kw.update(ct=self.config.clock_tile)
         if self.config.clock_superchunks:
             kw.update(superchunks=self.config.clock_superchunks)
+        if not interp and channels >= 1024 and channels % 512 == 0:
+            kw.setdefault("ct", 512)
+            kw.setdefault("superchunks", 32)
         if self.config.clock_chunk and not K:
             kw.update(chunk=self.config.clock_chunk)
         if interp:
@@ -386,14 +394,7 @@ class Demodulator:
             precision=fe_prec,
             rows=fe_rows,
         )
-        ck_kw = self._clock_pallas_kw(interp)
-        if not interp and C_ >= 1024 and C_ % 512 == 0:
-            # Wider lane tile halves the sequential per-symbol passes
-            # per tensorcore (measured 2877 vs 2639 Msamp/s at
-            # C=1024); superchunks=32 keeps the window scratch within
-            # the 16 MB scoped-VMEM limit at ct=512.
-            ck_kw.setdefault("ct", 512)
-            ck_kw.setdefault("superchunks", 32)
+        ck_kw = self._clock_pallas_kw(interp, C_)
 
         # Long blocks run the clock kernel as chained segments (its
         # window scratch grows with block length — clock_max_block).
@@ -546,10 +547,7 @@ class Demodulator:
                 clock_recovery_block_pallas_batch,
             )
 
-            ck_kw = self._clock_pallas_kw(interp)
-            if not interp and x.re.shape[0] >= 1024 and x.re.shape[0] % 512 == 0:
-                ck_kw.setdefault("ct", 512)      # see fused path note
-                ck_kw.setdefault("superchunks", 32)
+            ck_kw = self._clock_pallas_kw(interp, x.re.shape[0])
 
             # Same chained-segment split as the fused path (the kernel's
             # window scratch grows with block length — clock_max_block).

@@ -146,14 +146,18 @@ def _pick_tb(T: int, L: int, budget_rows: int = 320) -> int:
     # Keep the per-grid-step VMEM block (x + dec planes, double-buffered)
     # bounded: rows cost 2*8*L*4 bytes each for x and again for dec.
     budget_rows = min(budget_rows, max(8, (10 << 20) // (2 * 8 * L * 4 * 4)))
-    best = 1
+    # The fwd kernel ping-pongs its metric scratch per row pair, so an odd
+    # tile pays one extra full pm copy per grid step — but a bigger tile
+    # still wins on per-step launch/DMA overhead.  Score odd tiles at half
+    # weight (the pm copy is comparable to a step's fixed cost) instead of
+    # skipping them outright: T=2312 (B=256 S=4 windows) picks 289 over
+    # even 136, while even-rich lengths still pick the largest even tile.
+    best, best_score = 1, 0.0
     for tb in range(1, T + 1):
         if T % tb == 0 and tb <= budget_rows:
-            # Prefer even tiles: the fwd kernel ping-pongs its metric
-            # scratch per row pair, and an odd tile pays one extra full
-            # pm copy per grid step.
-            if tb % 2 == 0 or best % 2 == 1:
-                best = tb
+            score = float(tb) if tb % 2 == 0 else tb / 2.0
+            if score >= best_score:
+                best, best_score = tb, score
     return best
 
 

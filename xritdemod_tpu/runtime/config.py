@@ -132,6 +132,10 @@ def demod_config_from_file(
         symbol_rate, rrc_alpha = C.HRIT_SYMBOL_RATE, C.HRIT_RRC_ALPHA
     elif mode == "lrit":
         symbol_rate, rrc_alpha = C.LRIT_SYMBOL_RATE, C.LRIT_RRC_ALPHA
+    elif mode:
+        # Reference exits with "Invalid mode specified"
+        # (demodulator.cpp:252-255); don't run at a silently wrong rate.
+        raise ValueError(f"invalid mode in {filename!r}: {mode!r}")
     else:
         symbol_rate, rrc_alpha = C.LRIT_SYMBOL_RATE, C.LRIT_RRC_ALPHA
         if p.has_key("symbolRate"):
