@@ -87,6 +87,17 @@ def bench_demod(mode: str):
     frows = int(os.environ.get("BENCH_FRONTEND_ROWS", "0"))
     if frows:
         cfg = dataclasses.replace(cfg, frontend_rows=frows)
+    finp = int(os.environ.get("BENCH_FIR_INPLACE", "-1"))
+    if finp >= 0:
+        cfg = dataclasses.replace(cfg, frontend_fir_inplace=finp)
+    dec = int(os.environ.get("BENCH_DECIMATION", "0"))
+    if dec > 1:
+        # The reference's real-SDR operating point: a higher input rate
+        # decimated down to the same circuit rate (demodulator.cpp:136-140).
+        cfg = dataclasses.replace(
+            cfg, sample_rate=cfg.sample_rate * dec, decimation=dec
+        )
+        baseline_msps *= dec
     ctile = int(os.environ.get("BENCH_CLOCK_TILE", "0"))
     if ctile:
         cfg = dataclasses.replace(cfg, clock_tile=ctile)

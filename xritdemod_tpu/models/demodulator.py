@@ -84,6 +84,10 @@ class DemodConfig:
     # at C >= 2048 and 64 at C >= 4096 where the G=C/128-plane VMEM
     # scratch would overflow).
     frontend_rows: int = 0
+    # Front-end in-place FIR (-1 auto: on at G >= 32 where the dedicated
+    # scratch overflows scoped VMEM; 0/1 force off/on — forcing on frees
+    # ~2 of the kernel's VMEM buffers, admitting wider row tiles).
+    frontend_fir_inplace: int = -1
     # Largest block (post-decimation samples) fed to the Pallas clock
     # kernel in ONE launch; longer blocks split into chained segments —
     # the kernel's window scratch grows with block length (the channel
@@ -386,6 +390,9 @@ class Demodulator:
         from xritdemod_tpu.ops.frontend_pallas import demod_frontend_pallas
 
         T_, C_ = xT.re.shape
+        fe_kw = {}
+        if self.config.frontend_fir_inplace >= 0:
+            fe_kw["fir_inplace"] = bool(self.config.frontend_fir_inplace)
         yT, agc_gain, rrc_hist, costas_state = demod_frontend_pallas(
             xT, state.agc_gain, state.rrc_hist, state.costas,
             self._agc, self._rrc_taps_t, self._costas,
@@ -393,6 +400,7 @@ class Demodulator:
             block_k=fe_bu,
             precision=fe_prec,
             rows=fe_rows,
+            **fe_kw,
         )
         ck_kw = self._clock_pallas_kw(interp, C_)
 
