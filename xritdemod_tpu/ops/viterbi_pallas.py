@@ -120,6 +120,65 @@ def _fwd_kernel(x_ref, dec_ref, pm_out, pm_a, pm_b, *, rows):
         pm_out[:] = pm_a[:]
 
 
+def _fwd_kernel_reg(x_ref, dec_ref, pm_out, pm_scr, *, rows):
+    """Register-carried variant for NARROW lane counts (L <= 128).
+
+    The 64 path-metric planes ride a fori_loop carry tuple — at L <= 128
+    they fit the vector registers, and this form measured ~25% faster
+    than the VMEM ping-pong at B=256/S=4 (L=128: 51k vs 40k frames/s,
+    the host StreamDecoder's small-batch shape).  At L >= 512 the carry
+    spills and the ping-pong `_fwd_kernel` wins ~1.9x; `_decode_bits`
+    dispatches on L.  Same adds and compare order — outputs are
+    bit-identical to the ping-pong form.
+    """
+    g1_0, g2_0, g1_1, g2_1 = _sign_tables()
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        pm_scr[:] = jnp.zeros_like(pm_scr)
+
+    def body(r, pm):
+        a = x_ref[r, 0]                                  # (8, L)
+        b = x_ref[r, 1]
+        spp = a + b
+        spm = a - b
+        smp = b - a
+        smm = -spp
+
+        def bm(g1, g2):
+            return {
+                (1, 1): spp, (1, -1): spm, (-1, 1): smp, (-1, -1): smm
+            }[(g1, g2)]
+
+        new = []
+        w0 = None
+        w1 = None
+        for n in range(_NS):
+            c0 = pm[n >> 1] + bm(g1_0[n], g2_0[n])
+            c1 = pm[(n >> 1) + _NS // 2] + bm(g1_1[n], g2_1[n])
+            dec = c1 > c0
+            new.append(jnp.where(dec, c1, c0))
+            mask = np.uint32(1 << (n & 31)).astype(np.int32)  # bit 31 wraps
+            dbit = jnp.where(dec, mask, 0)
+            if n < 32:
+                w0 = dbit if w0 is None else (w0 | dbit)
+            else:
+                w1 = dbit if w1 is None else (w1 | dbit)
+        dec_ref[r, 0] = w0
+        dec_ref[r, 1] = w1
+        return tuple(new)
+
+    pm = tuple(pm_scr[n] for n in range(_NS))
+    pm = jax.lax.fori_loop(0, rows, body, pm)
+    for n in range(_NS):
+        pm_scr[n] = pm[n]
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        for n in range(_NS):
+            pm_out[n] = pm[n]
+
+
 def _back_kernel(dec_ref, st0_ref, bits_ref, st_out, st_scr, *, rows):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -142,20 +201,24 @@ def _back_kernel(dec_ref, st0_ref, bits_ref, st_out, st_scr, *, rows):
         st_out[:] = state
 
 
-def _pick_tb(T: int, L: int, budget_rows: int = 320) -> int:
+def _pick_tb(T: int, L: int, budget_rows: int = 320,
+             even_bias: bool = True) -> int:
     # Keep the per-grid-step VMEM block (x + dec planes, double-buffered)
     # bounded: rows cost 2*8*L*4 bytes each for x and again for dec.
     budget_rows = min(budget_rows, max(8, (10 << 20) // (2 * 8 * L * 4 * 4)))
-    # The fwd kernel ping-pongs its metric scratch per row pair, so an odd
-    # tile pays one extra full pm copy per grid step — but a bigger tile
-    # still wins on per-step launch/DMA overhead.  Score odd tiles at half
-    # weight (the pm copy is comparable to a step's fixed cost) instead of
-    # skipping them outright: T=2312 (B=256 S=4 windows) picks 289 over
-    # even 136, while even-rich lengths still pick the largest even tile.
+    # The ping-pong fwd kernel pays one extra full pm copy per grid step
+    # on an odd tile — but a bigger tile still wins on per-step
+    # launch/DMA overhead.  Score odd tiles at half weight (the pm copy
+    # is comparable to a step's fixed cost) instead of skipping them:
+    # T=2312 (B=256 S=4 windows) picks 289 over even 136, while even-rich
+    # lengths still pick the largest even tile.  The register-carry
+    # variant (even_bias=False) has no odd-tile penalty.
     best, best_score = 1, 0.0
     for tb in range(1, T + 1):
         if T % tb == 0 and tb <= budget_rows:
-            score = float(tb) if tb % 2 == 0 else tb / 2.0
+            score = float(tb)
+            if even_bias and tb % 2:
+                score /= 2.0
             if score >= best_score:
                 best, best_score = tb, score
     return best
@@ -169,7 +232,10 @@ def _decode_bits(soft: jax.Array, interpret: bool) -> jax.Array:
     if B % 8:
         raise ValueError(f"B={B} must be a multiple of 8")
     L = B // 8
-    TB = _pick_tb(T, L)
+    # Narrow lane counts keep the 64 metric planes register-resident
+    # (see _fwd_kernel_reg); wide ones ping-pong them through VMEM.
+    reg = L <= 128
+    TB = _pick_tb(T, L, even_bias=not reg)
     f32 = jnp.float32
     i32 = jnp.int32
 
@@ -180,8 +246,12 @@ def _decode_bits(soft: jax.Array, interpret: bool) -> jax.Array:
     blk = pl.BlockSpec((TB, 2, 8, L), lambda i: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fwd = _fwd_kernel_reg if reg else _fwd_kernel
+    scratch = [pltpu.VMEM((_NS, 8, L), f32)]
+    if not reg:
+        scratch.append(pltpu.VMEM((_NS, 8, L), f32))
     dec, pm = pl.pallas_call(
-        functools.partial(_fwd_kernel, rows=TB),
+        functools.partial(fwd, rows=TB),
         grid=(T // TB,),
         out_shape=(
             jax.ShapeDtypeStruct((T, 2, 8, L), i32),
@@ -189,10 +259,7 @@ def _decode_bits(soft: jax.Array, interpret: bool) -> jax.Array:
         ),
         in_specs=[blk],
         out_specs=(blk, full),
-        scratch_shapes=[
-            pltpu.VMEM((_NS, 8, L), f32),
-            pltpu.VMEM((_NS, 8, L), f32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x)
 
