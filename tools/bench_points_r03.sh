@@ -10,8 +10,11 @@ run() {
 }
 run demod_lrit BENCH_KIND=demod
 run demod_lrit_signal BENCH_KIND=demod BENCH_SIGNAL=1
+run demod_lrit_dec2 BENCH_KIND=demod BENCH_DECIMATION=2
 run demod_hrit BENCH_KIND=demod BENCH_MODE=hrit
 run decode_lrit_b4096 BENCH_KIND=decode BENCH_FRAMES=4096
+run decode_lrit_b4096_rs_errored BENCH_KIND=decode BENCH_FRAMES=4096 BENCH_RS_ERRORED=1
+run decode_lrit_b256 BENCH_KIND=decode BENCH_FRAMES=256
 run decode_hrit_b4096 BENCH_KIND=decode BENCH_MODE=hrit BENCH_FRAMES=4096
 run rx_lrit BENCH_KIND=rx
 run rx_hrit BENCH_KIND=rx BENCH_MODE=hrit
