@@ -209,11 +209,13 @@ class CaduDecoder:
             # Auto: enough segments that B*S fills the 128-wide lane axis
             # (L = B*S/8 >= 128), floor 4 so sequential depth still drops
             # for big batches, cap 16 where overlap overhead (2*128/Tseg)
-            # starts to dominate.  Measured at B=256 with the ping-pong
-            # fwd kernel: S=4 ~36-41k, S=8 25k, S=16 25k frames/s vs 9.3k
-            # unsegmented (round-2's register-carry kernel did 51k at
-            # this narrow L=128 shape but 9% worse at the B=4096
-            # throughput shapes, which the batch path is for).
+            # starts to dominate.  The fwd kernel itself dispatches per L
+            # (viterbi_pallas._decode_bits): register-carry at
+            # L<=128, VMEM ping-pong butterfly above — so B=256/S=4
+            # (L=128) runs register-carry at ~51k frames/s, while the
+            # B=4096 throughput shapes take the ping-pong path (which is
+            # ~9% faster there).  Measured B=256: S=4 51.0k, S=8 49.3k,
+            # S=16 47.7k frames/s vs 9.3k unsegmented.
             segs = min(16, max(4, 1024 // max(B, 1))) if on_tpu else 0
             # VMEM cap: the segmented kernel's decision planes overflow
             # the 16 MB scoped limit past B*S = 8192 windows (measured:

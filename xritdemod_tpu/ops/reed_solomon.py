@@ -340,6 +340,15 @@ def rs_decode(received: jax.Array) -> tuple[jax.Array, jax.Array]:
     # (the steady-state clean-sky case — post-Viterbi output is usually
     # error-free), skip BM/Chien/Forney entirely.  Exact: the full path
     # returns (r, 0) for clean rows anyway (Lambda = 1 has no roots).
+    # Limitation: under vmap the cond predicate becomes batched, so it
+    # lowers to a select and BOTH branches always execute — still exact,
+    # but no clean-sky speedup.  This hits the sharded decode paths
+    # (parallel/channels.py and parallel/distributed.py wrap
+    # shard_map(vmap(_decode))) and decode_multi.  The flagship flat
+    # decode_frames path (decoder._fec_stack -> rs_decode_frame) calls
+    # rs_decode ONCE on the flattened (B*4, 255) block batch — no vmap —
+    # so the fast path applies where the headline decode throughput is
+    # measured.
     corrected_conv, nerr = jax.lax.cond(
         jnp.any(has_err),
         functools.partial(_rs_correct, B=B),
