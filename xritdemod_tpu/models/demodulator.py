@@ -100,6 +100,15 @@ class DemodConfig:
     # the XLA form) whenever running on TPU with channels a multiple of its
     # 128-lane tile, else the XLA kernel; "pallas"/"xla" force either.
     clock_kernel: str = "auto"
+    # Fractional interpolator of the M&M clock (config key clockInterp):
+    # "sinc" (default) evaluates windowed-sinc taps at the exact mu;
+    # "mmse" is the GR-parity tabulated 8-tap MMSE interpolator
+    # (mmse_fir_interpolator_cc structure — 129-row table, mu quantized
+    # to 1/128, no runtime normalization; ops/interp_taps.py).  Both
+    # decode post-FEC bit-exact; "mmse" matches the golden model's
+    # (demod_tcp_qt.py:266) interpolator family.  Applies to every clock
+    # kernel form (XLA serial/batch/block-update and Pallas).
+    clock_interp: str = "sinc"
     # K-row slab blocking inside the fused front-end kernel: 0 = exact
     # per-sample AGC/Costas recursions; K > 0 runs the AGC as an exact
     # affine prefix over K-row slabs and the Costas as the frozen-ramp
@@ -179,6 +188,11 @@ class Demodulator:
     def __init__(self, config: DemodConfig, block_len: int = 1 << 17):
         if block_len % config.decimation:
             raise ValueError("block_len must be a multiple of decimation")
+        if config.clock_interp not in ("sinc", "mmse"):
+            raise ValueError(
+                f"clock_interp must be 'sinc' or 'mmse', "
+                f"got {config.clock_interp!r}"
+            )
         self.config = config
         self.block_len = block_len
 
@@ -295,6 +309,8 @@ class Demodulator:
             kw.update(chunk=self.config.clock_chunk)
         if interp:
             kw.update(chunk=min(4, K) if K else 4, superchunks=2)
+        if self.config.clock_interp != "sinc":
+            kw.update(interp_mode=self.config.clock_interp)
         return kw
 
     def _run_clock_segs(self, run_seg, T_: int, cstate):
@@ -355,7 +371,8 @@ class Demodulator:
         )
         x, costas_state = costas_op.costas_block(x, state.costas, self._costas)
         syms, valid, clock_state = cr_op.clock_recovery_block(
-            x, state.clock, self._clock, self.num_slots
+            x, state.clock, self._clock, self.num_slots,
+            interp=cfg.clock_interp,
         )
         soft = syms.re   # reference takes Re{.} (SymbolManager.cpp:104)
         new_state = DemodState(
@@ -582,10 +599,12 @@ class Demodulator:
             syms, valid, clock_state = cr_op.clock_recovery_block_update_batch(
                 x, state.clock, self._clock, self.num_slots,
                 chunk=cfg.clock_block_update,
+                interp=cfg.clock_interp,
             )
         else:
             syms, valid, clock_state = cr_op.clock_recovery_block_batch(
-                x, state.clock, self._clock, self.num_slots
+                x, state.clock, self._clock, self.num_slots,
+                interp=cfg.clock_interp,
             )
         soft = syms.re
         new_state = DemodState(

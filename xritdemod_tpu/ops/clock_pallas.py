@@ -56,6 +56,11 @@ __all__ = [
     "clock_recovery_block_pallas_batch_cl",
 ]
 
+# MMSE table geometry (ops/interp_taps.py): 129 rows zero-padded to 256
+# sublanes so the one-hot contraction dimension is tile-aligned.
+_NSTEPS = 128
+_TABPAD = 256
+
 
 def _r8(v: int) -> int:
     return -(-v // 8) * 8
@@ -89,12 +94,14 @@ def _geometry(params: ClockRecoveryParams, chunk: int, superchunks: int,
 def _mm_kernel(
     # inputs (refs)
     xr_hbm, xi_hbm, mu_ref, om_ref, ii_ref, pr_ref, pi_ref, cr_ref, ci_ref,
+    tab_ref,
     # outputs
     sr_hbm, si_hbm, vd_hbm, mu_o, om_o, ii_o, pr_o, pi_o, cr_o, ci_o,
     # scratch
     win_r, win_i, ob_r, ob_i, ob_v, in_sem, out_sem,
     *, CT, num_supers, chunk, superchunks, w08, a0, RELMAX, CW, SL, SW8,
     spread, SWE8, limit, params: ClockRecoveryParams, block_update=False,
+    interp_mode="sinc",
 ):
     omega_mid = jnp.float32(params.omega)
     omega_lim = jnp.float32(params.omega * params.omega_relative_limit)
@@ -114,6 +121,29 @@ def _mm_kernel(
     nb = max(1, (spread + 8).bit_length())
     nb2 = max(1, (RELMAX - 1).bit_length())
     pi_c = jnp.float32(math.pi)
+    if interp_mode == "mmse":
+        # Tabulated MMSE taps (GR mmse_fir_interpolator_cc structure, see
+        # ops/interp_taps.py): the (8, 256) zero-padded transposed table
+        # arrives as an input ref; a per-symbol row lookup is a one-hot
+        # MXU contraction (single nonzero per output -> order-exact, and
+        # no per-lane gather, which Mosaic would reject/serialize).
+        tabv = tab_ref[:, :]                                  # (8, 256)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (_TABPAD, CT), 0)
+
+        def _mmse_taps8(frac):
+            """(1, CT) fractional mu -> (8, CT) tap rows (no normalize)."""
+            imu = jnp.clip(
+                jnp.floor(frac * jnp.float32(_NSTEPS) + 0.5).astype(
+                    jnp.int32
+                ),
+                0,
+                _NSTEPS,
+            )
+            oh = (row_iota == imu).astype(jnp.float32)        # (256, CT)
+            return jax.lax.dot_general(
+                tabv, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     def super_body(s, carry):
         (mu, om, ii, p1r, p2r, p3r, p1i, p2i, p3i,
@@ -217,25 +247,38 @@ def _mm_kernel(
                     fr = posj - ilf
                     il = ilf.astype(jnp.int32)
                     vs.append(ii + il < limit)
-                    # Taps via angle addition: u = w - il - 3 - fr;
-                    #   sin(pi u)   = (-1)^w (-1)^il sin(pi fr)
-                    #   cos(pi u/4) = cos(pi w/4) cos(a) + sin(pi w/4) sin(a)
-                    #                 with a = pi/4 (il + 3 + fr)
-                    sgn_il = 1.0 - 2.0 * (ilf % 2.0)
-                    sin_fr = jnp.sin(pi_c * fr) * sgn_il  # (1, CT)
-                    av = (ilf + 3.0 + fr) * jnp.float32(math.pi / 4.0)
-                    cos_a = jnp.cos(av)
-                    sin_a = jnp.sin(av)
-                    u = wf - ilf - 3.0 - fr               # (CW0, CT)
-                    in_tap = (w_iota >= il) & (w_iota < il + INTERP_TAPS)
-                    wwin = 0.54 + 0.46 * (AW * cos_a + BW * sin_a)
-                    sinc = jnp.where(
-                        u == 0.0, 1.0, SGNW * sin_fr / (pi_c * u)
-                    )
-                    t = jnp.where(in_tap, sinc * wwin, 0.0)
-                    tsum = jnp.sum(t, axis=0, keepdims=True)
-                    p0r = jnp.sum(cw_r * t, axis=0, keepdims=True) / tsum
-                    p0i = jnp.sum(cw_i * t, axis=0, keepdims=True) / tsum
+                    if interp_mode == "mmse":
+                        trow = _mmse_taps8(fr)            # (8, CT)
+                        t = jnp.zeros((CW0, CT), jnp.float32)
+                        for k in range(INTERP_TAPS):
+                            t = jnp.where(
+                                w_iota == il + k, trow[k : k + 1, :], t
+                            )
+                        p0r = jnp.sum(cw_r * t, axis=0, keepdims=True)
+                        p0i = jnp.sum(cw_i * t, axis=0, keepdims=True)
+                    else:
+                        # Taps via angle addition: u = w - il - 3 - fr;
+                        #   sin(pi u)   = (-1)^w (-1)^il sin(pi fr)
+                        #   cos(pi u/4) = cos(pi w/4) cos(a)
+                        #               + sin(pi w/4) sin(a)
+                        #                 with a = pi/4 (il + 3 + fr)
+                        sgn_il = 1.0 - 2.0 * (ilf % 2.0)
+                        sin_fr = jnp.sin(pi_c * fr) * sgn_il  # (1, CT)
+                        av = (ilf + 3.0 + fr) * jnp.float32(math.pi / 4.0)
+                        cos_a = jnp.cos(av)
+                        sin_a = jnp.sin(av)
+                        u = wf - ilf - 3.0 - fr               # (CW0, CT)
+                        in_tap = (
+                            (w_iota >= il) & (w_iota < il + INTERP_TAPS)
+                        )
+                        wwin = 0.54 + 0.46 * (AW * cos_a + BW * sin_a)
+                        sinc = jnp.where(
+                            u == 0.0, 1.0, SGNW * sin_fr / (pi_c * u)
+                        )
+                        t = jnp.where(in_tap, sinc * wwin, 0.0)
+                        tsum = jnp.sum(t, axis=0, keepdims=True)
+                        p0r = jnp.sum(cw_r * t, axis=0, keepdims=True) / tsum
+                        p0i = jnp.sum(cw_i * t, axis=0, keepdims=True) / tsum
                     p0rs.append(p0r)
                     p0is.append(p0i)
                     c0rs.append(jnp.where(p0r > 0, 1.0, 0.0))
@@ -302,23 +345,26 @@ def _mm_kernel(
 
             for j in range(chunk):
                 valid = ii < limit                       # (1, CT)
-                u = k_iota.astype(jnp.float32) - 3.0 - mu     # (8, CT)
-                # Angle-addition taps: with u = k - 3 - mu (k integer),
-                #   sin(pi u)     = (-1)^k sin(pi mu)
-                #   cos(pi u / 4) = cos(pi(k-3)/4) cos(pi mu/4)
-                #                 + sin(pi(k-3)/4) sin(pi mu/4)
-                # so the transcendentals run on (1, CT) vectors, not the
-                # full (8, CT) tap grid (same formula as the XLA kernel to
-                # float rounding).
-                sin_mu = jnp.sin(pi_c * mu)              # (1, CT)
-                cos_q = jnp.cos(jnp.float32(math.pi / 4.0) * mu)
-                sin_q = jnp.sin(jnp.float32(math.pi / 4.0) * mu)
-                wwin = 0.54 + 0.46 * (A_K * cos_q + B_K * sin_q)
-                sgn = SGN_K
-                pu = pi_c * u
-                sinc = jnp.where(u == 0.0, 1.0, sgn * sin_mu / pu)
-                t = sinc * wwin
-                t = t / jnp.sum(t, axis=0, keepdims=True)
+                if interp_mode == "mmse":
+                    t = _mmse_taps8(mu)                  # (8, CT), as-is
+                else:
+                    u = k_iota.astype(jnp.float32) - 3.0 - mu     # (8, CT)
+                    # Angle-addition taps: with u = k - 3 - mu (k integer),
+                    #   sin(pi u)     = (-1)^k sin(pi mu)
+                    #   cos(pi u / 4) = cos(pi(k-3)/4) cos(pi mu/4)
+                    #                 + sin(pi(k-3)/4) sin(pi mu/4)
+                    # so the transcendentals run on (1, CT) vectors, not
+                    # the full (8, CT) tap grid (same formula as the XLA
+                    # kernel to float rounding).
+                    sin_mu = jnp.sin(pi_c * mu)              # (1, CT)
+                    cos_q = jnp.cos(jnp.float32(math.pi / 4.0) * mu)
+                    sin_q = jnp.sin(jnp.float32(math.pi / 4.0) * mu)
+                    wwin = 0.54 + 0.46 * (A_K * cos_q + B_K * sin_q)
+                    sgn = SGN_K
+                    pu = pi_c * u
+                    sinc = jnp.where(u == 0.0, 1.0, sgn * sin_mu / pu)
+                    t = sinc * wwin
+                    t = t / jnp.sum(t, axis=0, keepdims=True)
                 p0r = jnp.sum(cw_r[:INTERP_TAPS] * t, axis=0, keepdims=True)
                 p0i = jnp.sum(cw_i[:INTERP_TAPS] * t, axis=0, keepdims=True)
 
@@ -433,6 +479,7 @@ def _clock_pallas_core(
     ct: int | None,
     interpret: bool,
     block_update: bool = False,
+    interp_mode: str = "sinc",
 ):
     """Shared kernel launch: channels-last staged input (n+pad rows, C) ->
     raw channels-last symbol planes + final state vectors."""
@@ -466,8 +513,17 @@ def _clock_pallas_core(
         limit=limit,
         params=params,
         block_update=block_update,
+        interp_mode=interp_mode,
     )
     f32 = jnp.float32
+    # MMSE tap table, transposed + zero-padded to a tile-aligned (8, 256)
+    # plane (an 8 KB constant input; unused rows select nothing).  Always
+    # passed so the kernel signature is mode-independent.
+    from xritdemod_tpu.ops.interp_taps import mmse_taps_table
+
+    tabp = np.zeros((INTERP_TAPS, _TABPAD), np.float32)
+    tabp[:, : _NSTEPS + 1] = mmse_taps_table().T
+    tab_in = jnp.asarray(tabp)
     grid = (C // ct,)
     vec = lambda: pl.BlockSpec((1, ct), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
@@ -492,7 +548,9 @@ def _clock_pallas_core(
         in_specs=[hbm, hbm, vec(), vec(),
                   pl.BlockSpec((1, ct), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-                  hist(), hist(), hist(), hist()],
+                  hist(), hist(), hist(), hist(),
+                  pl.BlockSpec((INTERP_TAPS, _TABPAD), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=(hbm, hbm, hbm, vec(), vec(),
                    pl.BlockSpec((1, ct), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
@@ -522,6 +580,7 @@ def _clock_pallas_core(
         jnp.swapaxes(state.p.im, 0, 1),
         jnp.swapaxes(state.c.re, 0, 1),
         jnp.swapaxes(state.c.im, 0, 1),
+        tab_in,
     )
     return outs
 
@@ -551,7 +610,7 @@ def _pad_rows(params, chunk, superchunks, num_slots) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("params", "num_slots", "chunk", "superchunks", "ct",
-                     "interpret", "block_update"),
+                     "interpret", "block_update", "interp_mode"),
 )
 def clock_recovery_block_pallas_batch(
     x: CF32,
@@ -563,6 +622,7 @@ def clock_recovery_block_pallas_batch(
     ct: int | None = None,
     interpret: bool = False,
     block_update: bool = False,
+    interp_mode: str = "sinc",
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Pallas path: drop-in for `clock_recovery_block_batch` (same contract).
 
@@ -589,7 +649,7 @@ def clock_recovery_block_pallas_batch(
     )
     outs = _clock_pallas_core(
         xr_T, xi_T, n, state, params, num_slots, chunk, superchunks, ct,
-        interpret, block_update,
+        interpret, block_update, interp_mode,
     )
     tail = CF32(xr[:, -NTAIL:], xi[:, -NTAIL:])
     return _clock_state_from_outs(outs, n, num_slots, tail)
@@ -598,7 +658,7 @@ def clock_recovery_block_pallas_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("params", "num_slots", "chunk", "superchunks", "ct",
-                     "interpret", "block_update"),
+                     "interpret", "block_update", "interp_mode"),
 )
 def clock_recovery_block_pallas_batch_cl(
     x: CF32,
@@ -610,6 +670,7 @@ def clock_recovery_block_pallas_batch_cl(
     ct: int | None = None,
     interpret: bool = False,
     block_update: bool = False,
+    interp_mode: str = "sinc",
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Channels-last variant: `(T, C)` CF32 input (e.g. straight from the
     fused front-end kernel, ops/frontend_pallas.py) — the big block is
@@ -629,7 +690,7 @@ def clock_recovery_block_pallas_batch_cl(
     )
     outs = _clock_pallas_core(
         xr_T, xi_T, n, state, params, num_slots, chunk, superchunks, ct,
-        interpret, block_update,
+        interpret, block_update, interp_mode,
     )
     tail = CF32(
         jnp.swapaxes(xr_T[n - NTAIL : n], 0, 1),

@@ -22,9 +22,14 @@ dynamic-slice from HBM), and the inner K-step loop runs entirely on that
 VMEM-resident window — measured ~36 ns/symbol at 256 channels, ~18000x the
 naive scan, with bit-identical outputs.
 
-The fractional interpolator is a runtime-evaluated 8-tap windowed sinc (the
-reference uses GR's tabulated 8-tap MMSE interpolator; both resolve a
-fractional delay of 3+mu samples and agree within the chain's SNR bound).
+The fractional interpolator is selectable (`interp`): the default
+"sinc" evaluates 8 windowed-sinc taps at the exact mu; "mmse" is the
+GR-parity tabulated 8-tap MMSE interpolator (`ops/interp_taps.py`, the
+structure of GR `mmse_fir_interpolator_cc`: 129-row table indexed by
+imu = round(mu*128), no runtime normalization).  Both resolve a
+fractional delay of 3+mu samples and agree within the chain's SNR bound.
+Table lookups are gather-free one-hot contractions (a per-channel row
+gather would serialize under vmap — see the window-staging note below).
 Complex samples are the CF32 real-pair (utils/cplx.py).
 
 Block boundaries carry a fixed-size input tail so shapes stay static; batch
@@ -57,6 +62,34 @@ INTERP_TAPS = 8
 # Fixed-size carry of raw samples across block boundaries.  Must exceed
 # INTERP_TAPS + ceil(max omega); 32 is comfortably safe for sps <= 20.
 NTAIL = 32
+
+
+def _mmse_rows(mu: jax.Array) -> jax.Array:
+    """Tabulated MMSE tap rows for `mu` of any shape -> `mu.shape + (8,)`.
+
+    GR semantics: imu = round(mu * 128), row lookup from the 129-row
+    table.  Rounding is floor(x + 0.5) — identical in the Pallas kernel
+    (Mosaic has no round-half-even); differs from GR's rint only at exact
+    ties of mu*128, a measure-zero event for an accumulated float mu.
+    The lookup is a one-hot contraction, not a gather: each output has
+    exactly one nonzero product, so the sum is exact in float and
+    identical across backends/reduction orders, and nothing serializes
+    under vmap.
+    """
+    from xritdemod_tpu.ops.interp_taps import NSTEPS, mmse_taps_table
+
+    tab = jnp.asarray(mmse_taps_table())                     # (129, 8)
+    imu = jnp.clip(
+        jnp.floor(mu * NSTEPS + 0.5).astype(jnp.int32), 0, NSTEPS
+    )
+    onehot = (
+        imu[..., None] == jnp.arange(NSTEPS + 1, dtype=jnp.int32)
+    ).astype(jnp.float32)                                    # (..., 129)
+    return jax.lax.dot_general(
+        onehot, tab,
+        (((onehot.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # (..., 8)
 
 
 class ClockRecoveryParams(NamedTuple):
@@ -126,6 +159,7 @@ def clock_recovery_block(
     num_slots: int,
     chunk: int = 64,
     unroll: int = 4,
+    interp: str = "sinc",
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Recover symbols from one `(T,)` CF32 block.
 
@@ -160,11 +194,17 @@ def clock_recovery_block(
         # S-lane window with a validity mask — pure elementwise VPU work,
         # identical taps, no data-dependent addressing.
         offs = s_iota - il
-        in_tap = (offs >= 0) & (offs < INTERP_TAPS)
-        u = offs.astype(jnp.float32) - 3.0 - mu
-        wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
-        t = jnp.where(in_tap, jnp.sinc(u) * wwin, 0.0)
-        t = t / jnp.sum(t)
+        if interp == "mmse":
+            rows = _mmse_rows(mu)                       # (8,)
+            t = jnp.zeros((S,), jnp.float32)
+            for k in range(INTERP_TAPS):
+                t = jnp.where(offs == k, rows[k], t)
+        else:
+            in_tap = (offs >= 0) & (offs < INTERP_TAPS)
+            u = offs.astype(jnp.float32) - 3.0 - mu
+            wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
+            t = jnp.where(in_tap, jnp.sinc(u) * wwin, 0.0)
+            t = t / jnp.sum(t)
         p0r = jnp.sum(wr * t)
         p0i = jnp.sum(wi * t)
         # GR slicer_0deg: component -> 1.0 if > 0 else 0.0
@@ -293,6 +333,7 @@ def clock_recovery_block_batch(
     superchunks: int = 32,
     unroll: int = 4,
     staging: str = "barrel",
+    interp: str = "sinc",
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Batch-native variant: `(C, T)` input, `(C,)`-leading state pytree.
 
@@ -352,11 +393,17 @@ def clock_recovery_block_batch(
             il = jnp.clip(ii - base - woff, 0, S - INTERP_TAPS)   # (C,)
 
             offs = s_iota - il[None, :]                          # (S, C)
-            in_tap = (offs >= 0) & (offs < INTERP_TAPS)
-            u = offs.astype(jnp.float32) - 3.0 - mu[None, :]
-            wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
-            t = jnp.where(in_tap, jnp.sinc(u) * wwin, 0.0)
-            t = t / jnp.sum(t, axis=0)                           # sublane reduce
+            if interp == "mmse":
+                rowsT = _mmse_rows(mu).T                         # (8, C)
+                t = jnp.zeros(offs.shape, jnp.float32)
+                for k in range(INTERP_TAPS):
+                    t = jnp.where(offs == k, rowsT[k][None, :], t)
+            else:
+                in_tap = (offs >= 0) & (offs < INTERP_TAPS)
+                u = offs.astype(jnp.float32) - 3.0 - mu[None, :]
+                wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
+                t = jnp.where(in_tap, jnp.sinc(u) * wwin, 0.0)
+                t = t / jnp.sum(t, axis=0)                       # sublane reduce
             p0r = jnp.sum(wr * t, axis=0)                        # (C,)
             p0i = jnp.sum(wi * t, axis=0)
 
@@ -464,6 +511,7 @@ def clock_recovery_block_update_batch(
     chunk: int = 16,
     superchunks: int = 32,
     staging: str = "barrel",
+    interp: str = "sinc",
 ) -> tuple[CF32, jax.Array, ClockRecoveryState]:
     """Block-update M&M: K-symbol parallel interpolation (throughput variant).
 
@@ -540,11 +588,17 @@ def clock_recovery_block_update_batch(
         ilc = jnp.clip(il.astype(jnp.int32), 0, S - INTERP_TAPS)
 
         offs = s_iota - ilc[:, None, :]                           # (K, S, C)
-        in_tap = (offs >= 0) & (offs < INTERP_TAPS)
-        u = offs.astype(jnp.float32) - 3.0 - fr[:, None, :]
-        wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
-        t = jnp.where(in_tap, jnp.sinc(u) * wwin, 0.0)
-        t = t / jnp.sum(t, axis=1, keepdims=True)
+        if interp == "mmse":
+            rows = _mmse_rows(fr)                                 # (K, C, 8)
+            t = jnp.zeros(offs.shape, jnp.float32)
+            for k in range(INTERP_TAPS):
+                t = jnp.where(offs == k, rows[:, None, :, k], t)
+        else:
+            in_tap = (offs >= 0) & (offs < INTERP_TAPS)
+            u = offs.astype(jnp.float32) - 3.0 - fr[:, None, :]
+            wwin = 0.54 + 0.46 * jnp.cos(jnp.float32(math.pi / 4.0) * u)
+            t = jnp.where(in_tap, jnp.sinc(u) * wwin, 0.0)
+            t = t / jnp.sum(t, axis=1, keepdims=True)
         p0r = jnp.sum(wr[None] * t, axis=1)                       # (K, C)
         p0i = jnp.sum(wi[None] * t, axis=1)
         c0r = jnp.where(p0r > 0, 1.0, 0.0)

@@ -153,12 +153,18 @@ def demod_config_from_file(
     pll_alpha = C.CLOCK_ALPHA
     if p.has_key("pllAlpha"):
         pll_alpha = p.get_float("pllAlpha")
+    # Extension key (no reference counterpart): the M&M fractional
+    # interpolator family — "sinc" (default) or "mmse" (GR-parity table).
+    clock_interp = p.get("clockInterp", "sinc") if p.has_key(
+        "clockInterp"
+    ) else "sinc"
     cfg = DemodConfig(
         symbol_rate=symbol_rate,
         sample_rate=sample_rate,
         decimation=decimation,
         rrc_alpha=rrc_alpha,
         pll_alpha=pll_alpha,
+        clock_interp=clock_interp,
     )
     return cfg, p
 
