@@ -6,6 +6,10 @@ import numpy as np
 
 from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator, quantize_symbols
 from xritdemod_tpu.ops import filters
+import pytest
+
+# Compile-heavy on XLA:CPU -- excluded from the quick tier (build.sh).
+pytestmark = pytest.mark.heavy
 
 
 def make_lrit_signal(rng, nsym, cfg, f_off=2e-4, phase=0.7, amp=0.25, noise=0.02):

@@ -17,6 +17,9 @@ import sys
 
 import pytest
 
+# Compile-heavy on XLA:CPU -- excluded from the quick tier (build.sh).
+pytestmark = pytest.mark.heavy
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tools", "dist_worker.py")
 

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Compile-heavy on XLA:CPU -- excluded from the quick tier (build.sh).
+pytestmark = pytest.mark.heavy
+
 from xritdemod_tpu.ops import agc as agc_op
 from xritdemod_tpu.ops import clock_recovery as cr_op
 from xritdemod_tpu.ops import costas as costas_op

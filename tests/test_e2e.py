@@ -10,6 +10,9 @@ stream starts, and both LRIT/HRIT modes.
 import numpy as np
 import pytest
 
+# Compile-heavy on XLA:CPU -- excluded from the quick tier (build.sh).
+pytestmark = pytest.mark.heavy
+
 from xritdemod_tpu import tx
 from xritdemod_tpu import constants as C
 from xritdemod_tpu.models.decoder import CaduDecoder, DecoderConfig, StreamDecoder

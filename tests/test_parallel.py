@@ -6,6 +6,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# Compile-heavy on XLA:CPU -- excluded from the quick tier (build.sh).
+pytestmark = pytest.mark.heavy
+
 from xritdemod_tpu import tx
 from xritdemod_tpu.models.decoder import DecoderConfig
 from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator

@@ -13,6 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Compile-heavy on XLA:CPU -- excluded from the quick tier (build.sh).
+pytestmark = pytest.mark.heavy
+
 from xritdemod_tpu import tx
 from xritdemod_tpu.models.decoder import DecoderConfig, StreamDecoder
 from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator
