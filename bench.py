@@ -110,6 +110,9 @@ def bench_demod(mode: str):
     cmb = int(os.environ.get("BENCH_CLOCK_MAX_BLOCK", "0"))
     if cmb:
         cfg = dataclasses.replace(cfg, clock_max_block=cmb)
+    cin = os.environ.get("BENCH_CLOCK_INTERP")
+    if cin:
+        cfg = dataclasses.replace(cfg, clock_interp=cin)
     demod = ChannelDemodulator(cfg, channels=C, block_len=T)
 
     rng = np.random.default_rng(0)
@@ -192,6 +195,8 @@ def bench_rx(mode: str):
     """Whole-receive throughput, fully on-device: IQ in -> VCDUs out
     (demod chain -> per-channel symbol ring -> sync -> Viterbi -> RS) with
     no host symbol hop, pipelined through the carried state."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -219,6 +224,9 @@ def bench_rx(mode: str):
     else:
         cfg = DemodConfig.lrit(sample_rate=LRIT_RATE)
         baseline_msps = LRIT_RATE / 1e6
+    cin = os.environ.get("BENCH_CLOCK_INTERP")
+    if cin:
+        cfg = dataclasses.replace(cfg, clock_interp=cin)
     rx = FusedReceiver(
         cfg,
         DecoderConfig(mode=mode),

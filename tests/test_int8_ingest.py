@@ -1,0 +1,141 @@
+"""Quantized int8 IQ wire ingest (round-4 VERDICT item 2).
+
+The reference ingests 8-bit IQ natively and normalizes on the host
+(demodulator.cpp:54-74, RtlFrontend.cpp:26-28); here the quantized stream
+crosses the host->device link (1/4 the f32-pair bytes — the link bounds
+end-to-end rate, not the chip) and dequantizes on device.  These tests pin
+the format round-trip and that the int8 step is EXACTLY the float step on
+the dequantized samples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from xritdemod_tpu import tx
+from xritdemod_tpu.models.decoder import DecoderConfig
+from xritdemod_tpu.models.demodulator import DemodConfig
+import pytest
+
+from xritdemod_tpu.utils.cplx import (
+    CF32,
+    IQ_S8_SCALE,
+    dequantize_iq_s8,
+    quantize_iq_s8,
+)
+
+# Compile-heavy on XLA:CPU -- excluded from the quick tier (build.sh).
+pytestmark = pytest.mark.heavy
+
+
+def _capture(rng, cfg, nframes=3, vcid=7):
+    v = tx.make_vcdus(nframes, scid=13, vcid=vcid, rng=rng)
+    sym = tx.encode_stream(v, lrit=True, amp=1.0, rng=rng)
+    sig = tx.modulate(sym, cfg, rng, freq_offset=5e-5, amp=0.4, noise=0.01)
+    return sig, v
+
+
+class TestFormat:
+    def test_round_trip_lsb_bound(self, rng):
+        x = (rng.normal(0, 0.3, 4096) + 1j * rng.normal(0, 0.3, 4096)).astype(
+            np.complex64
+        )
+        x = np.clip(x.real, -1, 1) + 1j * np.clip(x.imag, -1, 1)
+        q = quantize_iq_s8(x)
+        assert q.dtype == np.int8 and q.shape == (8192,)
+        back = dequantize_iq_s8(jnp.asarray(q))
+        assert np.abs(np.asarray(back.re) - x.real).max() <= 0.5 / IQ_S8_SCALE + 1e-7
+        assert np.abs(np.asarray(back.im) - x.imag).max() <= 0.5 / IQ_S8_SCALE + 1e-7
+
+    def test_interleaving_order(self):
+        x = np.array([1 + 2j, 3 + 4j], np.complex64) / IQ_S8_SCALE
+        q = quantize_iq_s8(x)
+        assert q.tolist() == [1, 2, 3, 4]
+
+
+class TestStepInt8:
+    def test_matches_float_step_on_dequantized(self, rng):
+        """step_int8(q) must equal step(dequantize(q)) bit-for-bit — the
+        same math on the same numbers, only the transfer format differs."""
+        from xritdemod_tpu.models.receiver import FusedReceiver
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        dcfg = DecoderConfig(mode="lrit", frames_per_block=1)
+        Cn, T = 2, 1 << 15
+        sig, _ = _capture(rng, cfg, nframes=2)
+        n = len(sig) // T * T
+        x = np.stack([sig[:n]] * Cn)
+        q = quantize_iq_s8(x)                      # (Cn, 2n)
+
+        rx = FusedReceiver(cfg, dcfg, channels=Cn, block_len=T)
+        st_q = rx.init_state()
+        st_f = rx.init_state()
+        for b in range(n // T):
+            qb = q[:, 2 * b * T : 2 * (b + 1) * T]
+            batch_q, ok_q, _, st_q = rx.step_int8(qb, st_q)
+            xf = dequantize_iq_s8(jnp.asarray(qb))
+            batch_f, ok_f, _, st_f = rx.step(xf, st_f)
+            np.testing.assert_array_equal(np.asarray(ok_q), np.asarray(ok_f))
+            np.testing.assert_array_equal(
+                np.asarray(batch_q.vcdu), np.asarray(batch_f.vcdu)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(batch_q.frame_ok), np.asarray(batch_f.frame_ok)
+            )
+
+    def test_int8_capture_decodes_frames(self, rng):
+        """End-to-end: a quantized capture still decodes every frame
+        (8-bit IQ is the reference's own ingest precision class)."""
+        from xritdemod_tpu.models.decoder import StreamDecoder
+        from xritdemod_tpu.models.demodulator import Demodulator
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        sig, vcdus = _capture(rng, cfg, nframes=4, vcid=9)
+        q = quantize_iq_s8(sig)
+        x = dequantize_iq_s8(jnp.asarray(q))
+
+        T = 1 << 16
+        dm = Demodulator(cfg, block_len=T)
+        st = dm.init_state()
+        dec = StreamDecoder(DecoderConfig(mode="lrit", frames_per_block=2))
+        got = {}
+        n = x.re.shape[0] // T * T
+        batches = []
+        for b in range(n // T):
+            s, v, st = dm.process(x[b * T : (b + 1) * T], st)
+            batches += dec.push(np.asarray(s)[np.asarray(v)])
+        batches += dec.flush()
+        for bb in batches:
+            ok = np.asarray(bb.frame_ok)
+            ctr = np.asarray(bb.counter)
+            vc = np.asarray(bb.vcdu)
+            for i in range(len(ok)):
+                if ok[i]:
+                    got[int(ctr[i])] = bytes(vc[i])
+        exact = sum(
+            1 for c, v in got.items() if 0 <= c < 4 and v == bytes(vcdus[c])
+        )
+        assert exact >= 3, f"only {exact} bit-exact from int8 capture"
+
+
+class TestFoldedInt8:
+    def test_folded_receiver_accepts_s8_wire(self, rng):
+        from xritdemod_tpu.parallel.timeblocks import FoldedCaptureReceiver
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        sig, vcdus = _capture(rng, cfg, nframes=6, vcid=11)
+        q = quantize_iq_s8(sig)
+        rx = FoldedCaptureReceiver(
+            cfg, folds=2, block_len=1 << 16, frames_per_block=2,
+            use_fused=False,
+        )
+        out = rx.process(q)
+        got = {(vcid, ctr): v for (_, vcid, ctr, v) in out}
+        exact = sum(
+            1
+            for i in range(6)
+            if got.get((11, i)) == bytes(vcdus[i])
+        )
+        assert exact >= 5, f"only {exact}/6 frames from s8 folded capture"

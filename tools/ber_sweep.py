@@ -28,7 +28,12 @@ import sys
 import numpy as np
 
 
-def run_sweep(mode: str, nframes: int, snrs_db, seed: int = 0):
+def run_sweep(mode: str, nframes: int, snrs_db, seed: int = 0,
+              frames_per_block: int = 4, segments: int = -1):
+    """`frames_per_block`/`segments` pick the Viterbi kernel variant the
+    sweep exercises: B*S/8 <= 128 lanes runs the register-carry forward
+    kernel, wider runs the VMEM ping-pong butterfly
+    (ops/viterbi_pallas._decode_bits)."""
     from xritdemod_tpu import tx
     from xritdemod_tpu.models.decoder import DecoderConfig, StreamDecoder
 
@@ -42,7 +47,10 @@ def run_sweep(mode: str, nframes: int, snrs_db, seed: int = 0):
             vcdus, lrit=(mode == "lrit"), amp=1.0, noise=sigma, rng=rng
         )
         wire = tx.soft_to_int8(soft * 0.5)  # half-scale like AGC ref 0.5
-        dec = StreamDecoder(DecoderConfig(mode=mode, frames_per_block=4))
+        dec = StreamDecoder(DecoderConfig(
+            mode=mode, frames_per_block=frames_per_block,
+            viterbi_segments=segments,
+        ))
         batches = dec.push(wire.astype(np.float32)) + dec.flush()
 
         ok = (
@@ -86,9 +94,16 @@ def main() -> int:
     p.add_argument("--frames", type=int, default=12)
     p.add_argument("--snrs", default="0,1,2,3,4,6,8")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--fpb", type=int, default=4,
+                   help="decode batch width (frames per block)")
+    p.add_argument("--segments", type=int, default=-1,
+                   help="viterbi_segments (-1 auto; pick so fpb*segments/8 "
+                   "lands on the register-carry (<=128 lanes) or "
+                   "ping-pong (>128) forward kernel)")
     args = p.parse_args()
     snrs = [float(s) for s in args.snrs.split(",")]
-    res = run_sweep(args.mode, args.frames, snrs)
+    res = run_sweep(args.mode, args.frames, snrs,
+                    frames_per_block=args.fpb, segments=args.segments)
     if args.json:
         print(json.dumps(res))
     else:

@@ -33,9 +33,20 @@ def main():
     p.add_argument("--folds", type=int, default=128)
     p.add_argument("--clock-ppm", type=float, default=100.0)
     p.add_argument("--freq-drift", type=float, default=2e-5)
+    p.add_argument(
+        "--clock-interp", choices=("sinc", "mmse"), default="sinc",
+        help="M&M fractional interpolator (DemodConfig.clock_interp)",
+    )
+    p.add_argument(
+        "--wire", choices=("s8", "f32"), default="s8",
+        help="host->device sample format: s8 = interleaved int8 IQ (the "
+        "reference's native 8-bit ingest class, demodulator.cpp:54-74; "
+        "1/4 the link bytes, dequantized on device), f32 = CF32 pair",
+    )
     args = p.parse_args()
 
-    cfg = DemodConfig.lrit(sample_rate=1_250_000)
+    cfg = DemodConfig.lrit(sample_rate=1_250_000,
+                           clock_interp=args.clock_interp)
     nsym = int(args.seconds * cfg.symbol_rate)
     nframes = nsym // 16384 - 1
     print(f"backend={jax.default_backend()} capture={args.seconds:.0f}s "
@@ -51,8 +62,14 @@ def main():
         freq_offset=1e-4, clock_ppm=args.clock_ppm,
         freq_drift=args.freq_drift, noise=0.02,
     )
+    nsamples = len(sig)
+    if args.wire == "s8":
+        from xritdemod_tpu.utils.cplx import quantize_iq_s8
+
+        sig = quantize_iq_s8(sig)
     t_synth = time.perf_counter() - t0
-    print(f"synth {t_synth:.0f}s, {len(sig)} samples", flush=True)
+    print(f"synth {t_synth:.0f}s, {nsamples} samples ({args.wire} wire)",
+          flush=True)
 
     from xritdemod_tpu.parallel.timeblocks import FoldedCaptureReceiver
 
@@ -60,6 +77,11 @@ def main():
         cfg, folds=args.folds, block_len=1 << 17,
         max_clock_ppm=args.clock_ppm,
     )
+    # JIT warmup before the timed capture (one zero block of the
+    # production shapes), standard serving practice: the one-time compile
+    # is not part of streaming capability.  Reported separately.
+    t_warm = rx.warm_jit(args.wire)
+    print(f"jit warmup {t_warm:.0f}s", flush=True)
     t0 = time.perf_counter()
     out = rx.process(sig)
     t_rx = time.perf_counter() - t0
@@ -71,18 +93,25 @@ def main():
     for (_, vcid, ctr, v) in out:
         if (vcid, ctr) in want and v != bytes(vcdus[ctr]):
             bad_payload += 1
-    xrt = len(sig) / cfg.sample_rate / t_rx
+    xrt = nsamples / cfg.sample_rate / t_rx
     result = {
         "seconds": args.seconds,
-        "samples": len(sig),
+        "samples": nsamples,
+        "wire": args.wire,
         "frames_sent": nframes,
         "frames_recovered": len(got & want),
         "frames_missing": len(missing),
         "payload_mismatches": bad_payload,
         "clock_ppm": args.clock_ppm,
         "freq_drift": args.freq_drift,
+        "clock_interp": args.clock_interp,
         "rx_wall_s": round(t_rx, 1),
+        "jit_warmup_s": round(t_warm, 1),
+        # rx_wall excludes the pre-warmed one-time compile; this is
+        # streaming capability incl. ALL per-sample host work (fold
+        # assembly, H2D, device, stacked D2H).
         "x_realtime_incl_host": round(xrt, 1),
+        "timings": getattr(rx, "last_timings", {}),
         "backend": jax.default_backend(),
         "folds": args.folds,
     }

@@ -108,6 +108,7 @@ class FusedReceiver:
         self._acq = _CODED + corr_op.UW_BITS - 1
         self._step = jax.jit(self._step_impl)
         self._step_cl = jax.jit(self._step_cl_impl)
+        self._step_int8 = jax.jit(self._step_int8_impl)
 
     def init_state(self) -> RxState:
         Cn, L = self.channels, self.ring_len
@@ -129,6 +130,19 @@ class FusedReceiver:
         # input transpose (see Demodulator.block_batch_cl).
         return self._after_demod(
             self._demod.block_batch_cl(xT, st.demod), st
+        )
+
+    def _step_int8_impl(self, q: jax.Array, st: RxState):
+        # Quantized wire ingest: `(C, 2T)` interleaved int8 I/Q crosses
+        # the host->device link at 1/4 the f32-pair bytes (the link, not
+        # the chip, bounds end-to-end rate — LONGRUN budget breakdown);
+        # dequantization fuses into the chain's first on-device pass.
+        # Mirrors the reference's native 8-bit ingest
+        # (demodulator.cpp:54-74, RtlFrontend.cpp:26-28).
+        from xritdemod_tpu.utils.cplx import dequantize_iq_s8
+
+        return self._after_demod(
+            self._demod.block_batch(dequantize_iq_s8(q), st.demod), st
         )
 
     def _after_demod(self, demod_out, st: RxState):
@@ -205,3 +219,11 @@ class FusedReceiver:
         if not isinstance(xT, CF32):
             xT = from_complex(xT)
         return self._step_cl(xT, state)
+
+    def step_int8(self, q, state: RxState):
+        """Quantized-wire variant: `(C, 2T)` interleaved int8 I/Q block
+        (`utils.cplx.quantize_iq_s8` layout) — same contract as `step`,
+        1/4 the host->device bytes, dequantized on device."""
+        import jax.numpy as jnp
+
+        return self._step_int8(jnp.asarray(q), state)

@@ -50,24 +50,34 @@ def conv_encode_bits(bits: np.ndarray, sr: int = 0) -> tuple[np.ndarray, int]:
 
     `sr` is the 7-bit shift register (low K bits used); pass the returned
     value to chain blocks (the satellite encoder never resets mid-stream).
+
+    Vectorized: the register after bit i is exactly the 7-bit window
+    [history | bits][i : i+7] MSB-first, so all states come from one
+    sliding-window dot (bit-identical to the per-bit recurrence; pinned
+    by tests/test_decode_ops.py).
     """
     bits = np.asarray(bits, np.uint8)
-    out = np.empty(bits.size * 2, np.uint8)
-    for i, b in enumerate(bits):
-        sr = ((sr << 1) | int(b)) & 0x7F
-        out[2 * i] = _PARITY7[sr & C.CONV_POLY_A] ^ 1
-        out[2 * i + 1] = _PARITY7[sr & C.CONV_POLY_B] ^ 1
-    return out, sr
+    n = bits.size
+    if n == 0:
+        return np.empty(0, np.uint8), sr
+    hist = np.array([(sr >> k) & 1 for k in range(5, -1, -1)], np.uint8)
+    ext = np.concatenate([hist, bits])
+    win = np.lib.stride_tricks.sliding_window_view(ext, 7)      # (n, 7)
+    weights = np.array([64, 32, 16, 8, 4, 2, 1], np.int32)
+    srs = win.astype(np.int32) @ weights                        # (n,)
+    out = np.empty(2 * n, np.uint8)
+    out[0::2] = _PARITY7[srs & C.CONV_POLY_A] ^ 1
+    out[1::2] = _PARITY7[srs & C.CONV_POLY_B] ^ 1
+    return out, int(srs[-1])
 
 
 def nrzm_encode_bits(bits: np.ndarray, prev: int = 0) -> tuple[np.ndarray, int]:
     """NRZ-M precode: enc[i] = enc[i-1] XOR bit[i] (HRIT precoding)."""
     bits = np.asarray(bits, np.uint8)
-    out = np.empty_like(bits)
-    for i, b in enumerate(bits):
-        prev ^= int(b)
-        out[i] = prev
-    return out, prev
+    if bits.size == 0:
+        return np.empty_like(bits), prev
+    out = np.bitwise_xor.accumulate(bits) ^ np.uint8(prev)
+    return out, int(out[-1])
 
 
 def branch_signs() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

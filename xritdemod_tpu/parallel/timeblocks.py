@@ -53,22 +53,36 @@ class TimeBlockDemodulator:
         block_len: int = 1 << 20,
         warmup: int = 8192,
         axis: str = "t",
+        decode_overlap: int = 0,
     ):
-        if block_len % config.decimation or warmup % config.decimation:
+        """`decode_overlap` extends the left halo beyond `warmup` by that
+        many samples which are KEPT (not masked): each device then re-emits
+        the tail of its left neighbour's stream, so frames spanning a block
+        seam are decoded by BOTH devices and survive via (vcid, counter)
+        dedup — the lossless seam policy of FoldedCaptureReceiver, here
+        over the ppermute halo.  Size it >= 2 coded-frame spans
+        (2 * 16384 * sps * decimation samples) for zero seam loss."""
+        if (block_len % config.decimation or warmup % config.decimation
+                or decode_overlap % config.decimation):
             raise ValueError(
-                "block_len and warmup must be multiples of decimation"
+                "block_len/warmup/decode_overlap must be multiples of "
+                "decimation"
             )
         self.config = config
         self.mesh = mesh
         self.axis = axis
         self.block_len = block_len
         self.warmup = warmup
+        self.decode_overlap = decode_overlap
         self.n_devices = mesh.shape[axis]
-        self._demod = Demodulator(config, block_len=warmup + block_len)
+        halo = warmup + decode_overlap
+        self._halo = halo
+        self._demod = Demodulator(config, block_len=halo + block_len)
         self.num_slots = self._demod.num_slots
 
         spec = P(axis)
         self._x_sharding = NamedSharding(mesh, spec)
+        halo = self._halo
 
         @functools.partial(
             jax.shard_map,
@@ -84,8 +98,8 @@ class TimeBlockDemodulator:
             n = self.n_devices
             # Left-halo exchange: device d receives the tail of device d-1.
             perm = [(i, (i + 1) % n) for i in range(n)]
-            halo_r = jax.lax.ppermute(xr[-warmup:], axis, perm)
-            halo_i = jax.lax.ppermute(xi[-warmup:], axis, perm)
+            halo_r = jax.lax.ppermute(xr[-halo:], axis, perm)
+            halo_i = jax.lax.ppermute(xi[-halo:], axis, perm)
             idx = jax.lax.axis_index(axis)
             # Device 0 has no left context; zero halo = cold start like the
             # reference's own stream head.
@@ -95,8 +109,10 @@ class TimeBlockDemodulator:
                 jnp.concatenate([halo_r, xr]), jnp.concatenate([halo_i, xi])
             )
             soft, valid, _ = self._demod._block(ext, self._demod.init_state())
-            # Mask out symbols recovered from the warm-up halo region: the
-            # clock walks ~omega post-decimation samples per symbol.
+            # Mask out symbols recovered from the warm-up (pull-in) region:
+            # the clock walks ~omega post-decimation samples per symbol.
+            # Symbols from the decode_overlap region are KEPT — they
+            # duplicate the left neighbour's tail for seam dedup.
             nwarm = int(warmup / config.decimation / config.sps) + 2
             slot = jnp.arange(soft.shape[-1])
             keep = slot >= nwarm
@@ -199,6 +215,43 @@ class FoldedCaptureReceiver:
         frame_span = int(C.CODED_FRAME_SIZE * config.sps * config.decimation) + 1
         self.overlap = warmup + 2 * frame_span
         self._demod = Demodulator(config, block_len=block_len)
+        self.last_timings: dict = {}   # filled by the fused path
+
+    def _get_rx(self):
+        """The FusedReceiver is shape-static; build once and reuse (so a
+        `warm_jit` compile carries over to `process`)."""
+        if getattr(self, "_rx", None) is None:
+            from xritdemod_tpu.models.receiver import FusedReceiver
+
+            self._rx = FusedReceiver(
+                self.config, self._dec_cfg, channels=self.folds,
+                block_len=self.block_len,
+            )
+        return self._rx
+
+    def warm_jit(self, wire: str = "s8") -> float:
+        """Compile the fused step ahead of streaming (one zero block of the
+        production shapes + a sync), like any serving system's warmup.
+        Returns the wall seconds spent; no-op on the non-fused path."""
+        import time
+
+        import numpy as np
+
+        if not self.use_fused:
+            return 0.0
+        t0 = time.perf_counter()
+        rx = self._get_rx()
+        st = rx.init_state()
+        if wire == "s8":
+            batch, _, _, _ = rx.step_int8(
+                np.zeros((self.folds, 2 * self.block_len), np.int8), st
+            )
+        else:
+            batch, _, _, _ = rx.step(
+                np.zeros((self.folds, self.block_len), np.complex64), st
+            )
+        _ = float(np.asarray(batch.corr[0, 0]))   # sync (D2H, see skill)
+        return time.perf_counter() - t0
 
     def _fold_starts(self, N: int):
         import numpy as np
@@ -210,10 +263,10 @@ class FoldedCaptureReceiver:
         starts = np.arange(F, dtype=np.int64) * seg - self.overlap
         return starts, nblocks
 
-    def _fold_block(self, x, starts, j, buf):
-        import numpy as np
-
-        N = len(x)
+    def _fold_block(self, x, starts, j, buf, width: int = 1):
+        """Assemble fold block j into `buf`.  `width` = elements per
+        sample (1 for complex64 rows, 2 for interleaved int8 I/Q)."""
+        N = len(x) // width
         T = self.block_len
         buf[:] = 0
         for f in range(self.folds):
@@ -221,7 +274,9 @@ class FoldedCaptureReceiver:
             s1 = s0 + T
             c0, c1 = max(s0, 0), min(s1, N)
             if c1 > c0:
-                buf[f, c0 - s0 : c1 - s0] = x[c0:c1]
+                buf[f, width * (c0 - s0) : width * (c1 - s0)] = (
+                    x[width * c0 : width * c1]
+                )
         return buf
 
     @staticmethod
@@ -240,51 +295,110 @@ class FoldedCaptureReceiver:
     def _process_fused(self, x, starts, nblocks):
         """The on-device path: every block steps the FusedReceiver; a few
         trailing zero blocks flush the last ring-buffered frames (their
-        junk tail fails the per-frame sync recheck and is dropped)."""
+        junk tail fails the per-frame sync recheck and is dropped).
+
+        Host discipline (the round-4 LONGRUN budget breakdown): results
+        stay ON DEVICE as per-block handles and come back as ONE stacked
+        transfer per field at the end — per-block `np.asarray` pays the
+        host<->TPU link's per-transfer latency floor x 5 fields x
+        hundreds of blocks, which (with the f32 input transfer) is what
+        held the round-3 soak to 0.7x real time while the chip itself ran
+        ~1900x.  int8 captures additionally cross the link at 1/4 the
+        bytes and dequantize on device (FusedReceiver.step_int8)."""
+        import time
+
+        import jax
         import jax.numpy as jnp
         import numpy as np
 
         from xritdemod_tpu.models.receiver import FusedReceiver
 
         F, T = self.folds, self.block_len
-        rx = FusedReceiver(self.config, self._dec_cfg, channels=F, block_len=T)
+        int8_wire = np.asarray(x).dtype == np.int8
+        rx = self._get_rx()
         st = rx.init_state()
-        per_fold: list[list] = [[] for _ in range(F)]
-        buf = np.zeros((F, T), np.complex64)
+        saved = []
+        buf = (
+            np.zeros((F, 2 * T), np.int8)
+            if int8_wire
+            else np.zeros((F, T), np.complex64)
+        )
+        t_assemble = 0.0
+        t0 = time.perf_counter()
         for j in range(nblocks + 2):
+            ta = time.perf_counter()
             if j < nblocks:
-                self._fold_block(x, starts, j, buf)
+                self._fold_block(x, starts, j, buf, 2 if int8_wire else 1)
             else:
                 buf[:] = 0                      # flush pass
-            xc = CF32(
-                jnp.asarray(buf.real.copy()), jnp.asarray(buf.imag.copy())
-            )
-            batch, ok, ovf, st = rx.step(xc, st)
-            okh = np.asarray(batch.frame_ok)
-            scid = np.asarray(batch.scid)
-            vcid = np.asarray(batch.vcid)
-            ctr = np.asarray(batch.counter)
-            vcdu = np.asarray(batch.vcdu)
-            for f, k in zip(*np.nonzero(okh)):
-                per_fold[f].append(
-                    (int(scid[f, k]), int(vcid[f, k]), int(ctr[f, k]),
-                     bytes(vcdu[f, k]))
+            t_assemble += time.perf_counter() - ta
+            if int8_wire:
+                batch, ok, ovf, st = rx.step_int8(buf, st)
+            else:
+                xc = CF32(
+                    jnp.asarray(buf.real.copy()), jnp.asarray(buf.imag.copy())
                 )
+                batch, ok, ovf, st = rx.step(xc, st)
+            saved.append(
+                (batch.frame_ok, batch.scid, batch.vcid, batch.counter,
+                 batch.vcdu)
+            )
+            if j == 0:
+                # One-element pull = the only reliable sync on this
+                # backend: isolates the one-time jit compile (persistent
+                # cache makes later runs ~1s) from steady-state streaming.
+                _ = float(np.asarray(batch.corr[0, 0]))
+                t_compile = time.perf_counter() - t0
+        t_stream0 = time.perf_counter()
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *saved)
+        okh, scid, vcid, ctr, vcdu = (np.asarray(a) for a in stacked)
+        t_pull = time.perf_counter() - t_stream0
+        self.last_timings = {
+            # first block step incl. the one-time jit compile
+            "first_block_s": round(t_compile, 2),
+            # host-side fold memcpy across all blocks
+            "assemble_s": round(t_assemble, 2),
+            # drain the queued device work + ONE stacked D2H per field
+            "stream_and_pull_s": round(t_pull, 2),
+            "blocks": nblocks,
+            "wire": "s8" if int8_wire else "f32",
+        }
+        per_fold: list[list] = [[] for _ in range(F)]
+        # nonzero is row-major (j, f, k): within each fold the appends are
+        # stream-ordered, which _dedup relies on.
+        for j, f, k in zip(*np.nonzero(okh)):
+            per_fold[f].append(
+                (int(scid[j, f, k]), int(vcid[j, f, k]), int(ctr[j, f, k]),
+                 bytes(vcdu[j, f, k]))
+            )
         return self._dedup(per_fold)
 
     def process(self, x: "np.ndarray") -> list[tuple[int, int, int, bytes]]:
-        """complex64 capture -> deduplicated (scid, vcid, counter, vcdu)
-        in stream order."""
+        """Capture -> deduplicated (scid, vcid, counter, vcdu) in stream
+        order.  Accepts complex64 samples OR the `(2N,)` interleaved int8
+        I/Q wire format (`utils.cplx.quantize_iq_s8`); int8 captures cross
+        the host->device link quantized on the fused path (1/4 the bytes)
+        and are dequantized on the host for the CPU fallback."""
         import numpy as np
 
         from xritdemod_tpu.models.decoder import StreamDecoder
 
-        x = np.asarray(x, np.complex64)
-        N = len(x)
+        x = np.asarray(x)
+        int8_wire = x.dtype == np.int8
+        if int8_wire and x.ndim == 2:          # (N, 2) -> interleaved
+            x = x.reshape(-1)
+        if not int8_wire:
+            x = np.asarray(x, np.complex64)
+        N = len(x) // 2 if int8_wire else len(x)
         F, T = self.folds, self.block_len
         starts, nblocks = self._fold_starts(N)
         if self.use_fused:
             return self._process_fused(x, starts, nblocks)
+        if int8_wire:
+            from xritdemod_tpu.utils.cplx import IQ_S8_SCALE
+
+            f = x.astype(np.float32) / np.float32(IQ_S8_SCALE)
+            x = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
 
         state = self._demod.init_state_batch(F)
         decoders = [StreamDecoder(self._dec_cfg) for _ in range(F)]

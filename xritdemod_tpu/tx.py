@@ -161,12 +161,17 @@ def modulate(
     rc = filters.rrc_taps(
         1.0, fine_rate, cfg.symbol_rate, cfg.rrc_alpha, ntaps * os_factor
     )
+    # float32 shaping: the f32 rounding floor (~1e-7) sits ~5 orders below
+    # the smallest soak noise level; f64 doubled the synth memory traffic
+    # and dominated long-soak wall time.
     shaped = fftconvolve(
-        impulses.astype(np.float64), rc.astype(np.float64) * os_factor,
+        impulses, rc.astype(np.float32) * np.float32(os_factor),
         mode="same",
     )
-    sig = shaped[::os_factor].astype(np.complex128)
-    n = np.arange(len(sig))
+    sig = shaped[::os_factor]
+    # Phase accumulates in f64 (f*n reaches thousands of cycles), then
+    # reduces mod 2pi before single-precision trig.
+    n = np.arange(len(sig), dtype=np.float64)
     f = freq_offset
     ph = 2 * np.pi * f * n + phase
     if freq_drift:
@@ -175,9 +180,15 @@ def modulate(
         ph = ph + freq_drift * N / 2.0 * (
             1.0 - np.cos(2 * np.pi * 2 * n / N)
         )
-    sig = sig * np.exp(1j * ph) * amp
+    ph = np.remainder(ph, 2 * np.pi).astype(np.float32)
+    a32 = np.float32(amp)
+    re = sig * np.cos(ph) * a32
+    im = sig * np.sin(ph) * a32
     if noise:
-        sig = sig + (
-            rng.normal(size=len(sig)) + 1j * rng.normal(size=len(sig))
-        ) * noise
-    return sig.astype(np.complex64)
+        n32 = np.float32(noise)
+        re = re + rng.standard_normal(len(sig), dtype=np.float32) * n32
+        im = im + rng.standard_normal(len(sig), dtype=np.float32) * n32
+    out = np.empty(len(sig), np.complex64)
+    out.real = re
+    out.imag = im
+    return out

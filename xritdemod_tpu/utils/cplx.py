@@ -17,7 +17,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["CF32", "from_complex", "to_complex", "zeros", "full_like_shape"]
+__all__ = [
+    "CF32",
+    "from_complex",
+    "to_complex",
+    "zeros",
+    "full_like_shape",
+    "dequantize_iq_s8",
+    "quantize_iq_s8",
+]
 
 
 class CF32(NamedTuple):
@@ -84,3 +92,37 @@ def to_complex(x: CF32) -> np.ndarray:
     return np.asarray(x.re).astype(np.complex64) + 1j * np.asarray(x.im).astype(
         np.complex64
     )
+
+
+# -- int8 IQ wire format ------------------------------------------------------
+# The reference ingests 8-bit IQ natively (S8IQ/u8 frontends normalize to
+# float on the host, demodulator.cpp:54-74; RtlFrontend.cpp:26-28).  Here the
+# QUANTIZED stream crosses the host->device boundary (4x fewer bytes than the
+# f32 pair — the host<->TPU link, not the chip, bounds end-to-end rate) and
+# dequantizes ON DEVICE inside the first jit, where XLA fuses the cast+scale
+# into the chain's first HBM pass.
+
+IQ_S8_SCALE = 127.0
+
+
+def dequantize_iq_s8(q: jax.Array) -> CF32:
+    """Device-side: `(..., 2T)` interleaved int8 I/Q -> `(..., T)` CF32.
+
+    Inverse of `quantize_iq_s8` up to the 8-bit LSB (the reference's own
+    ingest precision class: RTL u8 / SDRPlay s16, demodulator.cpp:54-74).
+    """
+    f = q.astype(jnp.float32) * jnp.float32(1.0 / IQ_S8_SCALE)
+    return CF32(f[..., 0::2], f[..., 1::2])
+
+
+def quantize_iq_s8(x: np.ndarray) -> np.ndarray:
+    """Host-side: complex array -> `(..., 2T)` interleaved int8 I/Q."""
+    xn = np.asarray(x)
+    out = np.empty(xn.shape[:-1] + (2 * xn.shape[-1],), np.int8)
+    out[..., 0::2] = np.clip(
+        np.rint(xn.real * IQ_S8_SCALE), -127, 127
+    ).astype(np.int8)
+    out[..., 1::2] = np.clip(
+        np.rint(xn.imag * IQ_S8_SCALE), -127, 127
+    ).astype(np.int8)
+    return out
