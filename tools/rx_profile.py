@@ -31,8 +31,10 @@ C = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 T = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 17
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 6
 
-cfg = DemodConfig.lrit(sample_rate=1_250_000)
-rx = FusedReceiver(cfg, DecoderConfig(mode="lrit"), channels=C, block_len=T)
+MODE = os.environ.get("RX_PROFILE_MODE", "lrit")
+cfg = (DemodConfig.hrit(sample_rate=3_000_000) if MODE == "hrit"
+       else DemodConfig.lrit(sample_rate=1_250_000))
+rx = FusedReceiver(cfg, DecoderConfig(mode=MODE), channels=C, block_len=T)
 print(
     f"backend={jax.default_backend()} C={C} T={T} iters={N} "
     f"k={rx.k} ring_len={rx.ring_len} ring_dtype={rx.ring_dtype}",
