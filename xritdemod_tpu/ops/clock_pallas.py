@@ -57,7 +57,10 @@ __all__ = [
 ]
 
 # MMSE table geometry (ops/interp_taps.py): 129 rows zero-padded to 256
-# sublanes so the one-hot contraction dimension is tile-aligned.
+# sublanes so the one-hot contraction dimension is tile-aligned.  A
+# tighter 136-row (17 x 8) pad was measured MUCH slower (demod 2501 vs
+# 3284 Msamp/s at C=2048): Mosaic's layouts want the power-of-two
+# 256-sublane shape even though it doubles the compare rows.
 _NSTEPS = 128
 _TABPAD = 256
 
