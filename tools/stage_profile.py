@@ -24,7 +24,10 @@ C = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 T = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 17
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
-cfg = DemodConfig.lrit(sample_rate=1_250_000)
+cfg = DemodConfig.lrit(
+    sample_rate=1_250_000,
+    clock_interp=os.environ.get("BENCH_CLOCK_INTERP", "sinc"),
+)
 dm = Demodulator(cfg, block_len=T)
 rng = np.random.default_rng(0)
 x = CF32(

@@ -458,28 +458,34 @@ def rs_decode_frame(frames: jax.Array) -> tuple[jax.Array, jax.Array]:
 # --------------------------------------------------------------------------
 
 def rs_encode_np(data: np.ndarray) -> np.ndarray:
-    """Encode `(..., 223)` dual-basis data -> `(..., 255)` dual codewords."""
+    """Encode `(..., 223)` dual-basis data -> `(..., 255)` dual codewords.
+
+    Vectorized over rows: the LFSR division steps through the 223 message
+    positions sequentially, but each step's feedback multiply runs as one
+    table-gathered numpy op across all rows and the 32 parity lanes —
+    bit-identical to the per-symbol recurrence (pinned by the frozen
+    known-answer literals in tests/test_rs_kat.py)."""
     bexp, blog, taltab, tal1tab, g = _gf_tables()
-
-    def mul(a, b):
-        if a == 0 or b == 0:
-            return 0
-        return int(bexp[blog[a] + blog[b]])
-
     data = np.asarray(data, np.uint8)
     flat = data.reshape(-1, _K)
-    out = np.zeros((flat.shape[0], _N), np.uint8)
-    for r in range(flat.shape[0]):
-        msg = tal1tab[flat[r]].astype(np.int32)
-        par = np.zeros(_T2, np.int32)
-        for m in msg:
-            fb = int(m) ^ int(par[0])
-            par[:-1] = par[1:]
-            par[-1] = 0
-            if fb:
-                for d in range(_T2):
-                    # g has degree 32; g[_T2] is the monic leading term.
-                    par[d] ^= mul(fb, int(g[_T2 - 1 - d]))
-        out[r, :_K] = flat[r]
-        out[r, _K:] = taltab[par.astype(np.uint8)]
+    R = flat.shape[0]
+    msg = tal1tab[flat].astype(np.int32)                 # (R, 223) conv basis
+    # g reversed: gr[d] = g[_T2 - 1 - d]; log of each (g has no zero coeffs
+    # for this code, but mask anyway for safety).
+    gr = np.asarray([int(g[_T2 - 1 - d]) for d in range(_T2)], np.int32)
+    glog = blog[gr]                                       # (32,)
+    gzero = gr == 0
+    par = np.zeros((R, _T2), np.int32)
+    for i in range(_K):
+        fb = msg[:, i] ^ par[:, 0]                        # (R,)
+        par[:, :-1] = par[:, 1:]
+        par[:, -1] = 0
+        nz = fb != 0
+        if nz.any():
+            prod = bexp[blog[fb[nz]][:, None] + glog[None, :]]
+            prod = np.where(gzero[None, :], 0, prod)
+            par[nz] ^= prod
+    out = np.zeros((R, _N), np.uint8)
+    out[:, :_K] = flat
+    out[:, _K:] = taltab[par.astype(np.uint8)]
     return out.reshape(data.shape[:-1] + (_N,))
