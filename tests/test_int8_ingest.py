@@ -121,6 +121,29 @@ class TestStepInt8:
 
 
 class TestFoldedInt8:
+    def test_reprocess_cli_u8_capture(self, rng, tmp_path, monkeypatch):
+        """RTL-SDR-style unsigned 8-bit capture through the reprocess CLI:
+        u8 recenters to the s8 wire exactly ((v^0x80) = v-128, matching
+        the reference's (i-128)/127 LUT class, RtlFrontend.cpp:26-28)."""
+        from xritdemod_tpu import cli
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        sig, vcdus = _capture(rng, cfg, nframes=4, vcid=9)
+        q = quantize_iq_s8(sig)                    # interleaved s8
+        cap = tmp_path / "cap.u8"
+        ((q.view(np.uint8)) ^ 0x80).tofile(cap)    # s8 -> u8 on disk
+        cfgfile = tmp_path / "xritdemod.cfg"
+        cfgfile.write_text("mode=lrit\nsampleRate=1250000\ndecimation=1\n")
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main([
+            "reprocess", str(cap), "--config", str(cfgfile),
+            "--folds", "2", "--block-len", str(1 << 15),
+            "--out", str(tmp_path / "channels"),
+        ])
+        assert rc == 0
+        data = (tmp_path / "channels" / "channel_9.bin").read_bytes()
+        assert data == b"".join(bytes(v) for v in vcdus)
+
     def test_folded_receiver_accepts_s8_wire(self, rng):
         from xritdemod_tpu.parallel.timeblocks import FoldedCaptureReceiver
 

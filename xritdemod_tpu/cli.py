@@ -109,9 +109,30 @@ def _reprocess(args) -> int:
     from xritdemod_tpu.runtime.config import demod_config_from_file
 
     cfg, parser = demod_config_from_file(args.config)
-    x = np.fromfile(args.file, np.complex64)
-    print(f"xritdemod_tpu reprocess: {len(x)} samples "
-          f"({len(x) / cfg.sample_rate:.1f}s of capture), "
+    fmt = args.format
+    if fmt == "auto":
+        fmt = {"c64": "c64", "cfile": "c64", "raw": "c64",
+               "s8": "s8", "u8": "u8"}.get(
+            args.file.rsplit(".", 1)[-1].lower(), "c64")
+    if fmt == "c64":
+        x = np.fromfile(args.file, np.complex64)
+        n = len(x)
+    elif fmt == "s8":
+        # Interleaved signed 8-bit IQ — goes straight onto the int8
+        # device wire (utils/cplx.quantize_iq_s8 layout, scale 1/127).
+        x = np.fromfile(args.file, np.int8)
+        n = len(x) // 2
+    elif fmt == "u8":
+        # RTL-SDR style unsigned 8-bit IQ: v - 128 recenters to int8
+        # exactly ((v ^ 0x80) as signed), matching the reference's
+        # (i - 128)/127 LUT (RtlFrontend.cpp:26-28) after the on-device
+        # 1/127 dequant.
+        x = (np.fromfile(args.file, np.uint8) ^ 0x80).view(np.int8)
+        n = len(x) // 2
+    else:
+        raise SystemExit(f"unknown --format {fmt!r}")
+    print(f"xritdemod_tpu reprocess: {n} samples "
+          f"({n / cfg.sample_rate:.1f}s of capture, {fmt}), "
           f"folds={args.folds}")
     rx = FoldedCaptureReceiver(cfg, folds=args.folds,
                                block_len=args.block_len)
@@ -155,8 +176,14 @@ def main(argv=None) -> int:
         "reprocess",
         help="bulk-reprocess a capture fold-parallel -> channel files",
     )
-    g.add_argument("file", help="complex64 IQ capture")
+    g.add_argument("file", help="IQ capture (complex64, or raw 8-bit IQ "
+                   "with --format s8/u8)")
     g.add_argument("--config", default="xritdemod.cfg")
+    g.add_argument("--format", default="auto",
+                   choices=["auto", "c64", "s8", "u8"],
+                   help="sample format: c64 = complex64 (GQRX raw), s8 = "
+                   "interleaved signed 8-bit IQ, u8 = unsigned 8-bit IQ "
+                   "(RTL-SDR captures); auto = by file extension")
     g.add_argument("--folds", type=int, default=128)
     g.add_argument("--block-len", type=int, default=1 << 17)
     g.add_argument("--out", default="channels")
