@@ -194,6 +194,43 @@ class TestFrontends:
         # output must track LUT[raw] closely and carry both rails
         np.testing.assert_allclose(iq, rtl_u8_lut()[raw], atol=2e-2)
 
+    def test_rtl_frontend_plays_s8_capture(self, tmp_path, rng):
+        """signed_input=True: an s8 capture must produce EXACTLY what the
+        recentred u8 capture produces ((v ^ 0x80) = v - 128)."""
+        from xritdemod_tpu.runtime.frontends import RtlFrontend
+
+        raw_u8 = rng.integers(0, 256, 50_000, dtype=np.uint8)
+        s8_path = str(tmp_path / "cap.s8")
+        (raw_u8 ^ 0x80).astype(np.uint8).tofile(s8_path)  # same IQ as s8
+        u8_path = str(tmp_path / "cap.u8")
+        raw_u8.tofile(u8_path)
+
+        def play(fe):
+            got = []
+            fe.set_samples_available_callback(lambda iq, t: got.append(iq))
+            fe.set_sample_rate(2_560_000)
+            fe.start()
+            fe.join()
+            return np.concatenate(got)
+
+        a = play(RtlFrontend(filename=s8_path, signed_input=True))
+        b = play(RtlFrontend(filename=u8_path))
+        np.testing.assert_array_equal(a, b)
+
+    def test_cli_file_frontend_formats(self):
+        from xritdemod_tpu.cli import _file_frontend
+        from xritdemod_tpu.runtime.frontends import (
+            CFileFrontend, RtlFrontend,
+        )
+
+        assert isinstance(_file_frontend("x.raw", "auto", False),
+                          CFileFrontend)
+        fe = _file_frontend("x.u8", "auto", False)
+        assert isinstance(fe, RtlFrontend) and not fe.signed_input
+        fe = _file_frontend("x.s8", "auto", True)
+        assert isinstance(fe, RtlFrontend) and fe.signed_input
+        assert fe.realtime
+
     def test_rtl_frontend_usb_requires_library(self):
         from xritdemod_tpu.runtime.frontends import RtlFrontend
 

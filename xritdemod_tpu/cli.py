@@ -20,6 +20,23 @@ def _hook_sigint(app) -> None:
     ExitHandler.register_signal()
 
 
+def _file_frontend(path: str, fmt: str, realtime: bool):
+    """Capture-file frontend by sample format: c64 via CFileFrontend
+    (GQRX raw, CFileFrontend.cpp:33-62); u8/s8 8-bit interleaved IQ via
+    the RTL frontend's playback path (reference LUT normalization)."""
+    from xritdemod_tpu.runtime.frontends import CFileFrontend, RtlFrontend
+
+    if fmt == "auto":
+        fmt = {"s8": "s8", "u8": "u8"}.get(
+            path.rsplit(".", 1)[-1].lower(), "c64")
+    if fmt == "c64":
+        return CFileFrontend(path, realtime=realtime)
+    if fmt in ("u8", "s8"):
+        return RtlFrontend(filename=path, realtime=realtime,
+                           signed_input=(fmt == "s8"))
+    raise SystemExit(f"unknown --format {fmt!r}")
+
+
 def _demod(args) -> int:
     from xritdemod_tpu.runtime.apps import DemodulatorApp
     from xritdemod_tpu.runtime.config import demod_config_from_file
@@ -28,9 +45,7 @@ def _demod(args) -> int:
     cfg, parser = demod_config_from_file(args.config)
     device_type = parser.get("deviceType", "cfile")
     if args.file:
-        from xritdemod_tpu.runtime.frontends import CFileFrontend
-
-        frontend = CFileFrontend(args.file, realtime=args.realtime)
+        frontend = _file_frontend(args.file, args.format, args.realtime)
     else:
         frontend = make_frontend(device_type, parser)
     app = DemodulatorApp(
@@ -73,12 +88,12 @@ def _rx(args) -> int:
     from xritdemod_tpu.models.decoder import DecoderConfig
     from xritdemod_tpu.runtime.apps import ReceiverApp
     from xritdemod_tpu.runtime.config import demod_config_from_file
-    from xritdemod_tpu.runtime.frontends import CFileFrontend, make_frontend
+    from xritdemod_tpu.runtime.frontends import make_frontend
 
     cfg, parser = demod_config_from_file(args.config)
     mode = parser.get("mode", "lrit")
     if args.file:
-        frontend = CFileFrontend(args.file, realtime=args.realtime)
+        frontend = _file_frontend(args.file, args.format, args.realtime)
     else:
         frontend = make_frontend(parser.get("deviceType", "cfile"), parser)
     app = ReceiverApp(
@@ -153,7 +168,10 @@ def main(argv=None) -> int:
 
     d = sub.add_parser("demod", help="demodulate IQ -> soft symbols TCP :5000")
     d.add_argument("--config", default="xritdemod.cfg")
-    d.add_argument("--file", help="complex64 IQ capture (overrides config)")
+    d.add_argument("--file", help="IQ capture (overrides config)")
+    d.add_argument("--format", default="auto",
+                   choices=["auto", "c64", "s8", "u8"],
+                   help="capture sample format (auto = by extension)")
     d.add_argument("--realtime", action="store_true")
     d.add_argument("--max-blocks", type=int, default=None)
     d.set_defaults(fn=_demod)
@@ -165,7 +183,10 @@ def main(argv=None) -> int:
 
     r = sub.add_parser("rx", help="fused demod+decode in one process")
     r.add_argument("--config", default="xritdemod.cfg")
-    r.add_argument("--file", help="complex64 IQ capture (overrides config)")
+    r.add_argument("--file", help="IQ capture (overrides config)")
+    r.add_argument("--format", default="auto",
+                   choices=["auto", "c64", "s8", "u8"],
+                   help="capture sample format (auto = by extension)")
     r.add_argument("--realtime", action="store_true")
     r.add_argument("--display", action="store_true")
     r.add_argument("--dump", action="store_true")

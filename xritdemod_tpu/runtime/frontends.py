@@ -253,10 +253,15 @@ class RtlFrontend(FrontendDevice):
     BUFFER_SIZE = 16384  # u8 values per read, as rtlsdr_read_async
 
     def __init__(self, filename: str | None = None, device_index: int = 0,
-                 realtime: bool = False, library=None):
+                 realtime: bool = False, library=None,
+                 signed_input: bool = False):
         self.filename = filename
         self.device_index = device_index
         self.realtime = realtime
+        # signed_input: the capture file holds SIGNED 8-bit IQ (s8);
+        # XOR 0x80 recenters it to the u8 convention before the LUT
+        # (exactly (v + 128), so s8 value x -> x/127 like the wire).
+        self.signed_input = signed_input
         self.sample_rate = 2_560_000   # reference default RtlFrontend.cpp:16
         self.center_frequency = 106_300_000
         self.lna_gain = 0
@@ -361,7 +366,10 @@ class RtlFrontend(FrontendDevice):
                 raw = f.read(self.BUFFER_SIZE)
                 if not raw:
                     break
-                iq = self._lut[np.frombuffer(raw, np.uint8)]
+                u8 = np.frombuffer(raw, np.uint8)
+                if self.signed_input:
+                    u8 = u8 ^ 0x80
+                iq = self._lut[u8]
                 iq = self._dc.process(iq)
                 if self._cb is not None:
                     self._cb(iq, SampleType.FLOAT_IQ)
