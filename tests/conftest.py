@@ -21,6 +21,19 @@ import jax  # noqa: E402
 # still early enough).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent on-disk compilation cache (suite-time hygiene).  Two wins:
+# (a) the per-module `jax.clear_caches()` below (LLVM-segfault workaround)
+# forces recompiles of programs shared across modules — with the disk cache
+# those become deserialize hits instead of fresh XLA:CPU compiles, within a
+# single cold run; (b) repeat runs (dev inner loop, CI with a cached dir)
+# skip backend compilation entirely.  Tracing/lowering still runs on a hit,
+# so the saving is the backend-compile share only (~20-30% measured on the
+# compile-heavy modules).  Opt out or redirect with JAX_COMPILATION_CACHE_DIR.
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
