@@ -304,7 +304,13 @@ class Demodulator:
             kw.update(superchunks=self.config.clock_superchunks)
         if not interp and channels >= 1024 and channels % 512 == 0:
             kw.setdefault("ct", 512)
-            kw.setdefault("superchunks", 32)
+            # superchunks=24 keeps the ct=512 window scratch inside the
+            # 16 MB scoped-VMEM envelope (sc=32 compiled pre-round-5; the
+            # GR lag-convention fix shifted Mosaic's live ranges ~2 MB
+            # over the cliff) and measures FASTER: 3299.7 Msamp/s at
+            # C=2048 vs 3284.6 (r4, sc=32), 3156 at sc=16, 3054 with
+            # clock_max_block=65536 segmentation, 2844 at ct=256.
+            kw.setdefault("superchunks", 24)
         if self.config.clock_chunk and not K:
             kw.update(chunk=self.config.clock_chunk)
         if interp:

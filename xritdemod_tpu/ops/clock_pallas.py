@@ -287,7 +287,8 @@ def _mm_kernel(
                     c0rs.append(jnp.where(p0r > 0, 1.0, 0.0))
                     c0is.append(jnp.where(p0i > 0, 1.0, 0.0))
 
-                # ext[j] = 3-back of symbol j; ext[j+1] = 2-back.
+                # ext[j+1] = 2-back of symbol j; ext[j+2] = 1-back (the
+                # GR lag convention, pinned by tests/test_demod_kat.py).
                 ext_pr = [p3r, p2r, p1r] + p0rs
                 ext_pi = [p3i, p2i, p1i] + p0is
                 ext_cr = [c3r, c2r, c1r] + c0rs
@@ -296,11 +297,11 @@ def _mm_kernel(
                 cum = jnp.zeros_like(mu)
                 for j in range(chunk):
                     e = (
-                        (p0rs[j] - ext_pr[j]) * ext_cr[j + 1]
-                        + (p0is[j] - ext_pi[j]) * ext_ci[j + 1]
+                        (p0rs[j] - ext_pr[j + 1]) * ext_cr[j + 2]
+                        + (p0is[j] - ext_pi[j + 1]) * ext_ci[j + 2]
                         - (
-                            (c0rs[j] - ext_cr[j]) * ext_pr[j + 1]
-                            + (c0is[j] - ext_ci[j]) * ext_pi[j + 1]
+                            (c0rs[j] - ext_cr[j + 1]) * ext_pr[j + 2]
+                            + (c0is[j] - ext_ci[j + 1]) * ext_pi[j + 2]
                         )
                     )
                     e = jnp.where(vs[j], jnp.clip(e, -1.0, 1.0), 0.0)
@@ -373,10 +374,12 @@ def _mm_kernel(
 
                 c0r = jnp.where(p0r > 0, 1.0, 0.0)
                 c0i = jnp.where(p0i > 0, 1.0, 0.0)
+                # e = Re[(p0 - p_2T) conj(c_1T) - (c0 - c_2T) conj(p_1T)]
+                # — the GR lag-1/lag-2 convention (tests/test_demod_kat.py).
                 e = (
-                    (p0r - p3r) * c2r
-                    + (p0i - p3i) * c2i
-                    - ((c0r - c3r) * p2r + (c0i - c3i) * p2i)
+                    (p0r - p2r) * c1r
+                    + (p0i - p2i) * c1i
+                    - ((c0r - c2r) * p1r + (c0i - c2i) * p1i)
                 )
                 e = jnp.clip(e, -1.0, 1.0)
 

@@ -210,11 +210,14 @@ def clock_recovery_block(
         # GR slicer_0deg: component -> 1.0 if > 0 else 0.0
         c0r = jnp.where(p0r > 0, 1.0, 0.0)
         c0i = jnp.where(p0i > 0, 1.0, 0.0)
-        # e = Re[(p0 - p2)*conj(c1) - (c0 - c2)*conj(p1)]
+        # e = Re[(p0 - p2)*conj(c1) - (c0 - c2)*conj(p1)] with the GR
+        # lag convention: pr[0]/cr[0] are ONE symbol back (p_1T/c_1T),
+        # pr[1]/cr[1] two back (p_2T/c_2T) — pinned against the scalar
+        # transcription in tests/test_demod_kat.py.
         e = (
-            (p0r - pr[2]) * cr[1]
-            + (p0i - pi[2]) * ci[1]
-            - ((c0r - cr[2]) * pr[1] + (c0i - ci[2]) * pi[1])
+            (p0r - pr[1]) * cr[0]
+            + (p0i - pi[1]) * ci[0]
+            - ((c0r - cr[1]) * pr[0] + (c0i - ci[1]) * pi[0])
         )
         e = jnp.clip(e, -1.0, 1.0)
 
@@ -409,10 +412,12 @@ def clock_recovery_block_batch(
 
             c0r = jnp.where(p0r > 0, 1.0, 0.0)
             c0i = jnp.where(p0i > 0, 1.0, 0.0)
+            # GR lag convention: rows 0/1 of the history stacks are one/
+            # two symbols back (see the serial kernel).
             e = (
-                (p0r - pr[2]) * cr[1]
-                + (p0i - pi[2]) * ci[1]
-                - ((c0r - cr[2]) * pr[1] + (c0i - ci[2]) * pi[1])
+                (p0r - pr[1]) * cr[0]
+                + (p0i - pi[1]) * ci[0]
+                - ((c0r - cr[1]) * pr[0] + (c0i - ci[1]) * pi[0])
             )
             e = jnp.clip(e, -1.0, 1.0)
 
@@ -620,12 +625,16 @@ def clock_recovery_block_update_batch(
         Ai = jnp.concatenate([pi[::-1], p0i])
         Br = jnp.concatenate([cr[::-1], c0r])
         Bi = jnp.concatenate([ci[::-1], c0i])
+        # GR lag convention: symbol j's error uses lags one and two —
+        # extended-array index j+2 is one back of P(j) (= Ar[j+3]), j+1
+        # two back (tests/test_demod_kat.py pins this against the scalar
+        # GR transcription).
         e = (
-            (p0r - Ar[:K]) * Br[1 : K + 1]
-            + (p0i - Ai[:K]) * Bi[1 : K + 1]
+            (p0r - Ar[1 : K + 1]) * Br[2 : K + 2]
+            + (p0i - Ai[1 : K + 1]) * Bi[2 : K + 2]
             - (
-                (c0r - Br[:K]) * Ar[1 : K + 1]
-                + (c0i - Bi[:K]) * Ai[1 : K + 1]
+                (c0r - Br[1 : K + 1]) * Ar[2 : K + 2]
+                + (c0i - Bi[1 : K + 1]) * Ai[2 : K + 2]
             )
         )
         e = jnp.where(valid, jnp.clip(e, -1.0, 1.0), 0.0)         # (K, C)
