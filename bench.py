@@ -362,6 +362,18 @@ def bench_decode(mode: str):
             for pos in rng_e.integers(700, 15600, size=12):
                 soft[f, pos : pos + 30] *= -1.0
         soft = soft.reshape(-1)
+    elif os.environ.get("BENCH_RS_SPARSE", "0") == "1":
+        # Sparse-error point: ~1% of frames carry correctable bursts — the
+        # realistic mostly-clean stream.  The errored-subset compaction
+        # (ops/reed_solomon.py rs_decode sparse path) corrects only the
+        # errored rows, so this should land near the clean number rather
+        # than the all-errored one.
+        rng_e = np.random.default_rng(7)
+        soft = soft.reshape(B, 16384).copy()
+        for f in rng_e.choice(B, size=max(1, B // 100), replace=False):
+            for pos in rng_e.integers(700, 15600, size=12):
+                soft[f, pos : pos + 30] *= -1.0
+        soft = soft.reshape(-1)
     import jax.numpy as jnp
 
     soft_dev = jnp.asarray(soft)
@@ -378,7 +390,8 @@ def bench_decode(mode: str):
     print(f"# compile+first {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     ok = int(np.asarray(batch.frame_ok).sum())
     assert ok == B, f"decode bench integrity: {ok}/{B} frames ok"
-    if os.environ.get("BENCH_RS_ERRORED", "0") == "1":
+    if (os.environ.get("BENCH_RS_ERRORED", "0") == "1"
+            or os.environ.get("BENCH_RS_SPARSE", "0") == "1"):
         nerr = int(np.clip(np.asarray(batch.rs_errors), 0, None).sum())
         assert nerr > 0, "errored-path bench made no RS corrections"
         print(f"# rs corrections: {nerr}", file=sys.stderr)

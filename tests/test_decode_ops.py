@@ -203,6 +203,43 @@ class TestReedSolomon:
         back = np.asarray(rs.to_dual(rs.to_conventional(jnp.asarray(ident))))
         assert np.array_equal(back, ident)
 
+    @pytest.mark.heavy
+    def test_sparse_error_path_bit_identical(self, rng):
+        """The sparse-error compaction path (rs_decode sparse_max) must be
+        bit-identical to the full errored path in all three regimes:
+        sparse (0 < K <= Kmax, incl. failures beyond t), heavy fallback
+        (K > Kmax), and clean (K = 0)."""
+        B = 2048
+        data = rng.integers(0, 256, (B, 223)).astype(np.uint8)
+        cw = rs.rs_encode_np(data)
+
+        # sparse: ~1% errored rows, incl. one uncorrectable (> t errors)
+        bad = cw.copy()
+        err_rows = rng.choice(B, size=B // 100, replace=False)
+        for i in err_rows[:-1]:
+            pos = rng.choice(255, int(rng.integers(1, 17)), replace=False)
+            bad[i, pos] ^= rng.integers(1, 256, len(pos)).astype(np.uint8)
+        pos = rng.choice(255, 24, replace=False)
+        bad[err_rows[-1], pos] ^= rng.integers(1, 256, 24).astype(np.uint8)
+        c_full, n_full = rs.rs_decode(jnp.asarray(bad), sparse_max=0)
+        c_sp, n_sp = rs.rs_decode(jnp.asarray(bad))     # auto Kmax = 128
+        assert np.array_equal(np.asarray(c_full), np.asarray(c_sp))
+        assert np.array_equal(np.asarray(n_full), np.asarray(n_sp))
+        assert int(np.asarray(n_sp)[err_rows[-1]]) == -1
+
+        # heavy: K > Kmax falls back to the full path
+        bad2 = cw.copy()
+        bad2[: B // 2, 7] ^= 0x3C
+        c2f, n2f = rs.rs_decode(jnp.asarray(bad2), sparse_max=0)
+        c2s, n2s = rs.rs_decode(jnp.asarray(bad2))
+        assert np.array_equal(np.asarray(c2f), np.asarray(c2s))
+        assert np.array_equal(np.asarray(n2f), np.asarray(n2s))
+
+        # clean: zero-syndrome fast path unchanged
+        c3, n3 = rs.rs_decode(jnp.asarray(cw))
+        assert np.array_equal(np.asarray(c3), cw)
+        assert not np.asarray(n3).any()
+
 
 class TestViterbiPallas:
     def test_matches_xla_bit_exact(self, rng):

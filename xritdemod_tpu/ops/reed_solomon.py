@@ -310,8 +310,10 @@ def _bit_matrices():
     return msyn, mchien, mom, mdl
 
 
-@jax.jit
-def rs_decode(received: jax.Array) -> tuple[jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("sparse_max",))
+def rs_decode(
+    received: jax.Array, sparse_max: int | None = None
+) -> tuple[jax.Array, jax.Array]:
     """Decode `(B, 255)` dual-basis codewords.
 
     Returns `(corrected, nerrors)`: corrected `(B, 255)` dual-basis bytes
@@ -349,13 +351,90 @@ def rs_decode(received: jax.Array) -> tuple[jax.Array, jax.Array]:
     # rs_decode ONCE on the flattened (B*4, 255) block batch — no vmap —
     # so the fast path applies where the headline decode throughput is
     # measured.
-    corrected_conv, nerr = jax.lax.cond(
-        jnp.any(has_err),
-        functools.partial(_rs_correct, B=B),
-        lambda S, r, has_err: (r, jnp.zeros((B,), jnp.int32)),
-        S, r, has_err,
-    )
+    #
+    # Sparse-error middle path (`sparse_max` = Kmax > 0): realistic
+    # streams are mostly clean with a few errored frames, which the
+    # batch-wide cond alone cannot exploit — ONE errored row used to drag
+    # all B rows through BM/Chien/Forney (the round-4 22% errored-path
+    # cost).  When 0 < K <= Kmax rows carry errors, compact those rows to
+    # a (Kmax, *) batch, correct only them, and scatter the error
+    # patterns back.  All data movement is one-hot f32 matmuls (exact:
+    # each output sums exactly one nonzero; a row gather would serialize
+    # on TPU), so results are bit-identical to the full path.
+    if sparse_max is None:
+        sparse_max = _default_sparse_max(B)
+
+    def _clean(S, r, has_err):
+        return r, jnp.zeros((B,), jnp.int32)
+
+    if sparse_max and sparse_max < B:
+        Kmax = sparse_max
+
+        def _sparse(S, r, has_err):
+            # Errored rows first, original order preserved (stable sort).
+            order = jnp.argsort(jnp.logical_not(has_err), stable=True)
+            sel = order[:Kmax]                                  # (Kmax,)
+            Pf = (
+                sel[:, None] == jnp.arange(B, dtype=sel.dtype)[None, :]
+            ).astype(jnp.float32)                               # (Kmax, B)
+            # Compact via exact one-hot matmuls (values < 2^24).
+            S_k = jnp.dot(
+                Pf, S.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            r_k = jnp.dot(
+                Pf, r.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            he_k = jnp.any(S_k != 0, axis=-1)
+            corr_k, nerr_k = _rs_correct(S_k, r_k, he_k, B=Kmax)
+            # Scatter back: each full row receives <= 1 compact row's
+            # contribution (sel indices are distinct), so the transpose
+            # one-hot matmul reproduces values exactly; untouched rows
+            # get 0 (clean rows selected as Kmax padding have e = 0).
+            e_k = (corr_k ^ r_k).astype(jnp.float32)
+            e_full = jnp.dot(
+                Pf.T, e_k, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)
+            nerr = jnp.dot(
+                Pf.T, nerr_k.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            return r ^ e_full, nerr
+
+        nerrored = jnp.sum(has_err.astype(jnp.int32))
+        corrected_conv, nerr = jax.lax.cond(
+            nerrored > 0,
+            lambda S, r, has_err: jax.lax.cond(
+                nerrored <= Kmax,
+                _sparse,
+                functools.partial(_rs_correct, B=B),
+                S, r, has_err,
+            ),
+            _clean,
+            S, r, has_err,
+        )
+    else:
+        corrected_conv, nerr = jax.lax.cond(
+            jnp.any(has_err),
+            functools.partial(_rs_correct, B=B),
+            _clean,
+            S, r, has_err,
+        )
     return _bitlinear_bytes(corrected_conv, dual_im).astype(jnp.uint8), nerr
+
+
+def _default_sparse_max(B: int) -> int:
+    """Auto Kmax for the sparse-error path: ~B/16 rounded up to 128, only
+    for batches big enough that compaction pays (the compaction matmuls
+    cost ~Kmax*B*255 f32 FLOPs; at B >= 1024 that is far below the full
+    BM/Chien/Forney cost they avoid).  XRIT_RS_SPARSE=0 disables (A/B
+    knob)."""
+    import os
+
+    if B < 1024 or os.environ.get("XRIT_RS_SPARSE", "1") == "0":
+        return 0
+    return min(B // 2, -(-max(128, B // 16) // 128) * 128)
 
 
 def _rs_correct(S, r, has_err, *, B):
