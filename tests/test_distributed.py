@@ -52,7 +52,7 @@ def test_two_process_distributed_receive():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:

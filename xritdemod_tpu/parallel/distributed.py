@@ -236,7 +236,13 @@ class DistributedTimeBlockDemodulator:
         block_len: int = 1 << 17,
         warmup: int = 8192,
         mesh: Mesh | None = None,
+        decode_overlap: int = 0,
     ):
+        """`decode_overlap` (parallel/timeblocks.py semantics) extends the
+        ppermute halo by symbols that are KEPT, so frames spanning a block
+        seam — including the host/DCN boundary — are decoded by both
+        neighbours and deduped by (vcid, counter): the lossless seam
+        policy, here with the duplicate stream crossing processes."""
         from xritdemod_tpu.parallel.timeblocks import TimeBlockDemodulator
 
         host_mesh = mesh if mesh is not None else make_host_mesh()
@@ -246,7 +252,8 @@ class DistributedTimeBlockDemodulator:
         self.n_local = len(devs) // jax.process_count()
         self.block_len = block_len
         self._tb = TimeBlockDemodulator(
-            config, self.mesh, block_len=block_len, warmup=warmup
+            config, self.mesh, block_len=block_len, warmup=warmup,
+            decode_overlap=decode_overlap,
         )
         self.num_slots = self._tb.num_slots
         self._sharding = NamedSharding(self.mesh, P("t"))
