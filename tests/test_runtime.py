@@ -320,6 +320,74 @@ def _modulate(symbols: np.ndarray, cfg, rng) -> np.ndarray:
     return tx.modulate(symbols, cfg, rng)
 
 
+class TestDemodulatorAppBatchPad:
+    @pytest.mark.heavy
+    def test_batch_pad_matches_serial(self, tmp_path, rng):
+        """The single-stream real-time trick (the app pads its one live
+        stream into a C-channel batch on device and reads back channel 0;
+        auto-on on TPU where the serial scan path is ~0.22x real time)
+        must emit the same int8 wire symbols as the serial path — same
+        count, bytes equal up to the batch kernels' float rounding in the
+        int8 LSB."""
+        import socket
+
+        from xritdemod_tpu.models.demodulator import DemodConfig
+        from xritdemod_tpu.runtime.apps import DemodulatorApp
+        from xritdemod_tpu.runtime.frontends import CFileFrontend
+
+        cfg = DemodConfig.lrit(sample_rate=1_250_000)
+        vcdus = tx.make_vcdus(5, scid=13, vcid=5, rng=rng)
+        symbols = tx.encode_stream(vcdus, lrit=True, amp=1.0, rng=rng)
+        sig = tx.modulate(symbols, cfg, rng, freq_offset=1e-4, noise=0.02)
+        path = str(tmp_path / "cap.bin")
+        np.asarray(sig, np.complex64).tofile(path)
+
+        def run(pad):
+            srv = socket.socket()
+            srv.bind(("127.0.0.1", 0))
+            srv.listen(1)
+            port = srv.getsockname()[1]
+            chunks = []
+
+            def serve():
+                conn, _ = srv.accept()
+                conn.settimeout(5)
+                while True:
+                    try:
+                        d = conn.recv(1 << 16)
+                    except OSError:
+                        break
+                    if not d:
+                        break
+                    chunks.append(d)
+                conn.close()
+
+            t = threading.Thread(target=serve, daemon=True)
+            t.start()
+            app = DemodulatorApp(
+                cfg,
+                CFileFrontend(path),
+                decoder_address="127.0.0.1",
+                decoder_port=port,
+                block_len=1 << 16,
+                batch_pad=pad,
+            )
+            app.run()
+            t.join(timeout=10)
+            srv.close()
+            return np.frombuffer(b"".join(chunks), np.int8), app.symbols_out
+
+        serial, n0 = run(0)
+        padded, n1 = run(4)
+        assert n0 == len(serial) and n1 == len(padded)
+        assert abs(len(serial) - len(padded)) <= 2
+        n = min(len(serial), len(padded))
+        assert n > 50_000
+        d = np.abs(serial[:n].astype(np.int16) - padded[:n].astype(np.int16))
+        assert np.mean(d == 0) > 0.995           # LSB rounding only
+        assert np.max(d) <= 2
+
+
 class TestCheckpoint:
     def test_demod_state_roundtrip(self, tmp_path, rng):
         from xritdemod_tpu.models.demodulator import DemodConfig, Demodulator

@@ -85,7 +85,7 @@ def _bits_msb(value: int, width: int) -> list[int]:
 class TestIndependentEncoder:
     def test_reproduces_published_uw_from_sync_marker(self):
         """The external anchor: conv-encoding the CCSDS sync marker must
-        reproduce the reference's published LRIT UW0 (newdecoder.cpp:21)."""
+        reproduce the reference's published LRIT UW0 (newdecoder.cpp:23)."""
         coded = _indep_encode(_bits_msb(C.SYNC_MARKER, 32))
         got = int("".join(map(str, coded)), 2)
         assert got == C.LRIT_UW0

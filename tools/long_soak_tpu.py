@@ -38,6 +38,10 @@ def main():
         help="M&M fractional interpolator (DemodConfig.clock_interp)",
     )
     p.add_argument(
+        "--mode", choices=("lrit", "hrit"), default="lrit",
+        help="operating point: LRIT 1.25 Msps / HRIT 3 Msps (Parameters.h)",
+    )
+    p.add_argument(
         "--wire", choices=("s8", "f32"), default="s8",
         help="host->device sample format: s8 = interleaved int8 IQ (the "
         "reference's native 8-bit ingest class, demodulator.cpp:54-74; "
@@ -45,8 +49,12 @@ def main():
     )
     args = p.parse_args()
 
-    cfg = DemodConfig.lrit(sample_rate=1_250_000,
-                           clock_interp=args.clock_interp)
+    if args.mode == "hrit":
+        cfg = DemodConfig.hrit(sample_rate=3_000_000,
+                               clock_interp=args.clock_interp)
+    else:
+        cfg = DemodConfig.lrit(sample_rate=1_250_000,
+                               clock_interp=args.clock_interp)
     nsym = int(args.seconds * cfg.symbol_rate)
     nframes = nsym // 16384 - 1
     print(f"backend={jax.default_backend()} capture={args.seconds:.0f}s "
@@ -56,7 +64,8 @@ def main():
     t0 = time.perf_counter()
     rng = np.random.default_rng(11)
     vcdus = tx.make_vcdus(nframes, scid=13, vcid=5, rng=rng)
-    symbols = tx.encode_stream(vcdus, lrit=True, amp=1.0, rng=rng)
+    symbols = tx.encode_stream(vcdus, lrit=args.mode == "lrit", amp=1.0,
+                               rng=rng)
     sig = tx.modulate(
         symbols, cfg, rng,
         freq_offset=1e-4, clock_ppm=args.clock_ppm,
@@ -95,6 +104,7 @@ def main():
             bad_payload += 1
     xrt = nsamples / cfg.sample_rate / t_rx
     result = {
+        "mode": args.mode,
         "seconds": args.seconds,
         "samples": nsamples,
         "wire": args.wire,

@@ -174,4 +174,10 @@ def decoder_config_from_file(
 ) -> tuple[DecoderConfig, ConfigParser]:
     p = _load_with_defaults(filename, DECODER_DEFAULTS)
     mode = p.get("mode", "lrit") if p.has_key("mode") else "lrit"
-    return DecoderConfig(mode=mode), p
+    kw = {}
+    if p.has_key("framesPerBlock"):
+        # Device batch size of the streaming decoder: larger batches
+        # amortize the fixed per-dispatch link latency (throughput) at
+        # the cost of one batch of output latency.
+        kw["frames_per_block"] = p.get_int("framesPerBlock")
+    return DecoderConfig(mode=mode, **kw), p

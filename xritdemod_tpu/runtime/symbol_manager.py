@@ -96,6 +96,19 @@ class SymbolSender:
                 pass
             self._sock = None
 
+    def drain(self) -> None:
+        """Pump until the queue empties or stops making progress (link
+        down -> process() flushes, reference disconnect semantics).  The
+        reference's main loop calls process() far more often than once
+        per demod block (demodulator.cpp:484); a block-loop caller must
+        drain, or the ~2 chunks/block it would otherwise send caps the
+        queue and silently drops the stream's tail."""
+        while self._qlen > 0:
+            before = self._qlen
+            self.process()
+            if self._qlen >= before:
+                break
+
     def close(self) -> None:
         if self._sock:
             try:
