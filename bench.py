@@ -110,12 +110,12 @@ def bench_demod(mode: str):
     cmb = int(os.environ.get("BENCH_CLOCK_MAX_BLOCK", "0"))
     if cmb:
         cfg = dataclasses.replace(cfg, clock_max_block=cmb)
-    # Bench operating point: the GR-parity tabulated MMSE interpolator
-    # (one-hot MXU row lookup) measures faster than the sinc default at
-    # every shape tried (C=2048: 3284.6 vs 3256.1 Msamp/s; C=128: 980 vs
-    # 908) and is fully validated (bit-exact decode on TPU, 537/537-frame
-    # drift soak LONGRUN_MMSE_r04).  DemodConfig's default stays "sinc";
-    # override here with BENCH_CLOCK_INTERP=sinc.
+    # Bench operating point = the shipped default: the GR-parity
+    # tabulated MMSE interpolator (one-hot MXU row lookup), faster than
+    # sinc at every shape tried and DemodConfig's default since round 5
+    # (bench, config, and soaks all agree — LONGRUN_r05 vs
+    # LONGRUN_MMSE_r05 soak within 5%).  Override with
+    # BENCH_CLOCK_INTERP=sinc.
     cin = os.environ.get("BENCH_CLOCK_INTERP", "mmse")
     cfg = dataclasses.replace(cfg, clock_interp=cin)
     demod = ChannelDemodulator(cfg, channels=C, block_len=T)

@@ -34,7 +34,7 @@ def main():
     p.add_argument("--clock-ppm", type=float, default=100.0)
     p.add_argument("--freq-drift", type=float, default=2e-5)
     p.add_argument(
-        "--clock-interp", choices=("sinc", "mmse"), default="sinc",
+        "--clock-interp", choices=("sinc", "mmse"), default="mmse",
         help="M&M fractional interpolator (DemodConfig.clock_interp)",
     )
     p.add_argument(

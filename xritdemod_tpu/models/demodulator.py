@@ -101,14 +101,19 @@ class DemodConfig:
     # 128-lane tile, else the XLA kernel; "pallas"/"xla" force either.
     clock_kernel: str = "auto"
     # Fractional interpolator of the M&M clock (config key clockInterp):
-    # "sinc" (default) evaluates windowed-sinc taps at the exact mu;
-    # "mmse" is the GR-parity tabulated 8-tap MMSE interpolator
+    # "mmse" (default) is the GR-parity tabulated 8-tap MMSE interpolator
     # (mmse_fir_interpolator_cc structure — 129-row table, mu quantized
-    # to 1/128, no runtime normalization; ops/interp_taps.py).  Both
-    # decode post-FEC bit-exact; "mmse" matches the golden model's
-    # (demod_tcp_qt.py:266) interpolator family.  Applies to every clock
-    # kernel form (XLA serial/batch/block-update and Pallas).
-    clock_interp: str = "sinc"
+    # to 1/128, no runtime normalization; ops/interp_taps.py), the
+    # golden model's (demod_tcp_qt.py:266) interpolator family and the
+    # faster mode on TPU (demod 3299.7 vs ~3270 Msamp/s at C=2048);
+    # "sinc" evaluates windowed-sinc taps at the exact mu.  Both decode
+    # post-FEC bit-exact and soak identically (LONGRUN_r05 vs
+    # LONGRUN_MMSE_r05: 9.5x vs 9.0x real time, 1075/1075 both); the
+    # round-4 mmse soak anomaly was a symptom of the pre-round-5 M&M lag
+    # deviation and is gone.  Applies to every clock kernel form (XLA
+    # serial/batch/block-update and Pallas).  Shared default across
+    # DemodConfig, bench.py, and the soak tools.
+    clock_interp: str = "mmse"
     # K-row slab blocking inside the fused front-end kernel: 0 = exact
     # per-sample AGC/Costas recursions; K > 0 runs the AGC as an exact
     # affine prefix over K-row slabs and the Costas as the frozen-ramp

@@ -154,10 +154,11 @@ def demod_config_from_file(
     if p.has_key("pllAlpha"):
         pll_alpha = p.get_float("pllAlpha")
     # Extension key (no reference counterpart): the M&M fractional
-    # interpolator family — "sinc" (default) or "mmse" (GR-parity table).
-    clock_interp = p.get("clockInterp", "sinc") if p.has_key(
+    # interpolator family — "mmse" (default; the GR-parity table, the
+    # golden model's interpolator) or "sinc" (exact-mu windowed sinc).
+    clock_interp = p.get("clockInterp", "mmse") if p.has_key(
         "clockInterp"
-    ) else "sinc"
+    ) else "mmse"
     cfg = DemodConfig(
         symbol_rate=symbol_rate,
         sample_rate=sample_rate,
