@@ -7,7 +7,7 @@ decoding (frame sync, Viterbi r=1/2, NRZ-M, CCSDS derandomizer,
 Reed-Solomon 255/223), as block-functional kernels over device meshes.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 def version_info() -> str:
