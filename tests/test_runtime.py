@@ -69,6 +69,40 @@ class TestStatistics:
                        phase_correction=0, frame_ok=False)
         assert s.dropped_packets == 1 and not s.frame_lock
 
+    def test_pack_parses_with_independent_header_transcription(self):
+        """Cross-pin the wire layout: the library's pack() must be read
+        back field-for-field by tools/interop_run.py's parser, which is
+        transcribed independently from the reference C header
+        (Statistics.h:14-36) and shares no code with statistics.py."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "interop_run",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "tools", "interop_run.py"),
+        )
+        interop = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(interop)
+
+        s = Statistics()
+        s.update_frame(scid=13, vcid=5, counter=321, vit_errors=12,
+                       rs_errors=(1, 0, 2, -1), sync_correlation=60,
+                       phase_correction=180, frame_ok=True)
+        s.sync_word = b"\x1a\xcf\xfc\x1d"
+        raw = s.pack()
+        assert interop.STAT_SIZE == len(raw)
+        d = interop.parse_stats(raw)
+        assert d["scid"] == 13 and d["vcid"] == 5
+        assert d["packet_number"] == 321
+        assert d["vit_errors"] == 12
+        assert tuple(d["rs_errors"]) == (1, 0, 2, -1)
+        assert d["sync_correlation"] == 60
+        assert d["phase_correction"] == 180
+        assert d["total_packets"] == 1
+        assert d["received_per_channel"][5] == 1
+        assert d["sync_word"] == b"\x1a\xcf\xfc\x1d"
+        assert d["frame_lock"] == 1
+
 
 class TestBroadcastServer:
     def test_fanout_and_prune(self):
